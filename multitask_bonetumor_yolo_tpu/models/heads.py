@@ -1,0 +1,202 @@
+"""Anchor-free Detect / Segment / image-classification heads (Flax, NHWC).
+
+Parity targets (architecture + output contracts; ultralytics YOLOv8-style):
+  * Detect — instantiated at /root/reference/src/main_model.py:324 with
+    nc=nc_det, ch=(256,)*3, reg_max=16. Per level two towers:
+      box: Conv(c2,3) -> Conv(c2,3) -> 1x1 conv to 4*reg_max
+      cls: Conv(c3,3) -> Conv(c3,3) -> 1x1 conv to nc
+    with c2 = max(16, ch0//4, 4*reg_max), c3 = max(ch0, min(nc, 100)).
+    Train: 3 raw maps [B, H, W, 4*reg_max+nc] (reference layout is NCHW;
+    ours is NHWC — flattening order per level is identical row-major HW).
+    Eval: decoded preds [B, A, 4+nc] — xywh absolute boxes + sigmoid scores
+    (reference's ``detect_preds_cat`` is [B, 4+nc, A]; transposed layout).
+  * Segment — main_model.py:326-328: Detect towers + per-level cv4 coeff
+    towers (c4 = max(ch0//4, nm)) + Proto on P3 (npr=256, nm=32).
+    Proto = Conv(npr,3) -> ConvTranspose x2 -> Conv(npr,3) -> Conv(nm,1),
+    output at 2x P3 resolution (160x160 for 640 input).
+    Train: (det_raw_list, coeffs [B, A, nm], protos [B, 160, 160, nm]).
+    Eval: (preds [B, A, 4+nc+nm], coeffs, protos).
+  * Image-cls head — main_model.py:333-334: global-avg-pool P5 + Linear.
+
+Head convs use ultralytics BN constants (eps 1e-3, torch momentum 0.03) and
+bias-free convs, unlike the reference body blocks — see common.py.
+Bias init follows ultralytics ``bias_init`` so from-scratch training starts
+with calibrated objectness priors: box tower bias = 1.0, cls tower bias =
+log(5 / nc / (640 / stride)^2) per level.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import ConvBN, BN_MOMENTUM_HEAD, BN_EPS_HEAD
+from ..core.anchors import make_anchors
+from ..core.boxes import dist2bbox
+from ..core.dfl import dfl_decode
+
+Dtype = Any
+
+
+class HeadConv(nn.Module):
+    """ultralytics-style Conv: conv(bias=False) + BN(1e-3, m=.03) + SiLU."""
+
+    features: int
+    kernel_size: int = 1
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        return ConvBN(
+            self.features,
+            self.kernel_size,
+            self.strides,
+            use_bias=False,
+            act="silu",
+            bn_momentum=BN_MOMENTUM_HEAD,
+            bn_eps=BN_EPS_HEAD,
+            dtype=self.dtype,
+        )(x, train)
+
+
+def _final_conv(features: int, bias_value, dtype, name: str):
+    """1x1 conv with constant bias init (ultralytics Detect.bias_init)."""
+    return nn.Conv(
+        features,
+        (1, 1),
+        use_bias=True,
+        bias_init=lambda key, shape, dt=jnp.float32: jnp.full(
+            shape, bias_value, dt
+        ),
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class DetectTowers(nn.Module):
+    """Shared box/cls towers used by both Detect and Segment heads."""
+
+    nc: int
+    ch0: int
+    strides: Sequence[int] = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = True):
+        c2 = max(16, self.ch0 // 4, 4 * self.reg_max)
+        c3 = max(self.ch0, min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(feats):
+            stride = self.strides[i]
+            b = HeadConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            b = HeadConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
+            b = _final_conv(4 * self.reg_max, 1.0, self.dtype, f"cv2_{i}_2")(b)
+            c = HeadConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            c = HeadConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
+            cls_bias = math.log(5.0 / self.nc / (640.0 / stride) ** 2)
+            c = _final_conv(self.nc, cls_bias, self.dtype, f"cv3_{i}_2")(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs  # per level [B, H, W, 4*reg_max + nc]
+
+
+def decode_detections(
+    raw_levels: Sequence[jnp.ndarray],
+    nc: int,
+    img_size: int,
+    reg_max: int = 16,
+    strides: Sequence[int] = (8, 16, 32),
+) -> jnp.ndarray:
+    """Raw per-level maps -> concatenated eval predictions [B, A, 4+nc].
+
+    Boxes are absolute-pixel xywh (ultralytics eval contract); scores are
+    sigmoid class probabilities. Level order matches anchor order in
+    core.anchors.make_anchors.
+    """
+    b = raw_levels[0].shape[0]
+    flat = [lv.reshape(b, -1, lv.shape[-1]) for lv in raw_levels]
+    x = jnp.concatenate(flat, axis=1).astype(jnp.float32)  # [B, A, 4*rm+nc]
+    box_logits = x[..., : 4 * reg_max].reshape(b, -1, 4, reg_max)
+    cls_logits = x[..., 4 * reg_max :]
+    ltrb = dfl_decode(box_logits)  # [B, A, 4] in grid units
+    pts, strd = make_anchors(img_size, strides)
+    xywh = dist2bbox(ltrb, pts[None], box_format="xywh") * strd[None]
+    return jnp.concatenate([xywh, nn.sigmoid(cls_logits)], axis=-1)
+
+
+class DetectHead(nn.Module):
+    """Standalone Detect head (v1 model, reference main_model.py:324)."""
+
+    nc: int
+    ch0: int = 256
+    strides: Sequence[int] = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = True):
+        return DetectTowers(
+            self.nc, self.ch0, self.strides, self.reg_max,
+            dtype=self.dtype, name="towers",
+        )(feats, train)
+
+
+class Proto(nn.Module):
+    """Prototype-mask generator on P3 (ultralytics Proto block)."""
+
+    npr: int = 256
+    nm: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv1")(x, train)
+        x = nn.ConvTranspose(
+            self.npr, (2, 2), strides=(2, 2), use_bias=True,
+            dtype=self.dtype, param_dtype=jnp.float32, name="upsample",
+        )(x)
+        x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv2")(x, train)
+        return HeadConv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+
+class SegmentHead(nn.Module):
+    """Segment head = Detect towers + coeff towers + Proto
+    (reference main_model.py:326-328)."""
+
+    nc: int
+    nm: int = 32
+    npr: int = 256
+    ch0: int = 256
+    strides: Sequence[int] = (8, 16, 32)
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: Sequence[jnp.ndarray], train: bool = True
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(
+            feats[0], train
+        )
+        c4 = max(self.ch0 // 4, self.nm)
+        coeff_levels = []
+        b = feats[0].shape[0]
+        for i, x in enumerate(feats):
+            m = HeadConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            m = HeadConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
+            m = nn.Conv(
+                self.nm, (1, 1), use_bias=True,
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"cv4_{i}_2",
+            )(m)
+            coeff_levels.append(m.reshape(b, -1, self.nm))
+        coeffs = jnp.concatenate(coeff_levels, axis=1)  # [B, A, nm]
+        det_raw = DetectTowers(
+            self.nc, self.ch0, self.strides, self.reg_max,
+            dtype=self.dtype, name="towers",
+        )(feats, train)
+        return det_raw, coeffs, protos

@@ -1,0 +1,11 @@
+"""Device ops: resize, batched NMS, mask composition, Pallas kernels."""
+
+from .resize import resize_bilinear, resize_nearest
+from .nms import batched_nms, postprocess_detections
+
+__all__ = [
+    "resize_bilinear",
+    "resize_nearest",
+    "batched_nms",
+    "postprocess_detections",
+]

@@ -1,0 +1,255 @@
+"""Parity test: vectorized multitask loss vs a literal numpy transcription of
+the reference's per-image loop semantics (running_main_v3.py:232-387)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multitask_bonetumor_yolo_tpu.losses import LossConfig, multitask_loss
+from multitask_bonetumor_yolo_tpu.core.anchors import num_anchors
+
+
+# ---------------------------------------------------------------- numpy oracle
+def np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def np_bce_logits(x, z):
+    return np.maximum(x, 0) - x * z + np.log1p(np.exp(-np.abs(x)))
+
+
+def np_iou_matrix(a, b, eps=1e-7):
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a[:, None] + area_b[None, :] - inter + eps)
+
+
+def reference_loss_numpy(det_levels, seg_logits, cls_logits, gt_rows, masks,
+                         img_cls, cfg, train):
+    """Per-image loop, following running_main_v3.py line by line.
+
+    det_levels: list of [B, H, W, 4*rm+nc] numpy arrays (NHWC).
+    gt_rows: [N, 6] rows (batch_idx, cls, xc, yc, w, h) — the reference's
+    ragged concat format.
+    """
+    B = det_levels[0].shape[0]
+    rm, nc, S = cfg.reg_max, cfg.nc_det, cfg.img_size
+    project = np.arange(rm, dtype=np.float32)
+
+    # img-cls CE (mean)
+    lse = np.log(np.exp(cls_logits - cls_logits.max(-1, keepdims=True)).sum(-1)) \
+        + cls_logits.max(-1, keepdims=True)[:, 0]
+    loss_img_cls = float(np.mean(lse - cls_logits[np.arange(B), img_cls]))
+
+    # seg BCE (mean)
+    loss_seg = float(np.mean(np_bce_logits(seg_logits, masks)))
+
+    # decode all levels
+    boxes_all, cls_all, dist_all, anchors_all, strides_all = [], [], [], [], []
+    for lv in det_levels:
+        b, h, w, ch = lv.shape
+        stride = S / w
+        flat = lv.reshape(b, h * w, ch)
+        dist_raw = flat[..., : rm * 4].reshape(b, h * w, 4, rm)
+        cls_lg = flat[..., rm * 4:]
+        probs = np_softmax(dist_raw)
+        ltrb = (probs * project).sum(-1)
+        gy, gx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        ap = np.stack([gx + 0.5, gy + 0.5], -1).reshape(1, h * w, 2)
+        ap = np.repeat(ap, b, 0)
+        lt, rb_ = ltrb[..., :2], ltrb[..., 2:]
+        x1y1 = ap * stride - lt * stride
+        x2y2 = ap * stride + rb_ * stride
+        boxes_all.append(np.concatenate([x1y1, x2y2], -1))
+        cls_all.append(cls_lg)
+        dist_all.append(dist_raw)
+        anchors_all.append(ap)
+        strides_all.append(np.full((b, h * w, 1), stride, np.float32))
+    pred_boxes = np.concatenate(boxes_all, 1)
+    pred_cls = np.concatenate(cls_all, 1)
+    pred_dist = np.concatenate(dist_all, 1)
+    anchors = np.concatenate(anchors_all, 1)
+    strides = np.concatenate(strides_all, 1)
+
+    loss_box = loss_cls = loss_dfl = 0.0
+    num_pos = 0
+    accum_iou = 0.0
+    for bi in range(B):
+        g = gt_rows[gt_rows[:, 0] == bi]
+        if g.size == 0:
+            continue
+        g_cls = g[:, 1].astype(int)
+        cx, cy, w_, h_ = g[:, 2], g[:, 3], g[:, 4], g[:, 5]
+        g_xyxy = np.stack([(cx - w_ / 2) * S, (cy - h_ / 2) * S,
+                           (cx + w_ / 2) * S, (cy + h_ / 2) * S], -1)
+        ious = np_iou_matrix(pred_boxes[bi], g_xyxy)
+        best_iou = ious.max(1)
+        best_idx = ious.argmax(1)
+        pos = best_iou > cfg.iou_match_thresh
+        n = int(pos.sum())
+        if n == 0:
+            continue
+        num_pos += n
+        loss_box += float((1.0 - best_iou[pos]).sum())
+        accum_iou += float(best_iou[pos].sum())
+
+        mlogits = pred_cls[bi][pos]
+        mcls = g_cls[best_idx[pos]]
+        if train and cfg.det_label_smoothing > 0:
+            s = cfg.det_label_smoothing
+            tgt = np.full_like(mlogits, s / (nc - 1))
+            tgt[np.arange(n), mcls] = 1.0 - s
+        else:
+            tgt = np.zeros_like(mlogits)
+            tgt[np.arange(n), mcls] = 1.0
+        loss_cls += float(np_bce_logits(mlogits, tgt).sum())
+
+        ap_pos = anchors[bi][pos] * strides[bi][pos]
+        mgt = g_xyxy[best_idx[pos]]
+        gt_ltrb = np.concatenate([ap_pos - mgt[:, :2], mgt[:, 2:] - ap_pos], -1) \
+            / strides[bi][pos]
+        gt_ltrb = np.clip(gt_ltrb, 0, rm - 1.01)
+        tl = np.clip(np.floor(gt_ltrb), 0, rm - 1).astype(int)
+        tr = np.clip(tl + 1, 0, rm - 1)
+        wl = tr.astype(np.float32) - gt_ltrb
+        wr = gt_ltrb - tl.astype(np.float32)
+        d = pred_dist[bi][pos]  # [n, 4, rm]
+        for k in range(4):
+            logits_k = d[:, k, :]
+            lse_k = np.log(np.exp(logits_k - logits_k.max(-1, keepdims=True))
+                           .sum(-1)) + logits_k.max(-1)
+            ce_tl = lse_k - logits_k[np.arange(n), tl[:, k]]
+            ce_tr = lse_k - logits_k[np.arange(n), tr[:, k]]
+            loss_dfl += float((ce_tl * wl[:, k] + ce_tr * wr[:, k]).sum())
+
+    avg_f = float(num_pos) if num_pos > 0 else float(B)
+    comp = dict(
+        seg=loss_seg,
+        box_iou=loss_box / avg_f,
+        dfl=loss_dfl / avg_f,
+        cls_det=loss_cls / avg_f,
+        img_cls=loss_img_cls,
+    )
+    total = (cfg.weight_seg * comp["seg"] + cfg.weight_box_iou * comp["box_iou"]
+             + cfg.weight_dfl * comp["dfl"] + cfg.weight_cls_det * comp["cls_det"]
+             + cfg.weight_img_cls * comp["img_cls"])
+    return total, comp, num_pos
+
+
+# ---------------------------------------------------------------- fixtures
+def make_inputs(rng, B=2, img_size=64, nc=2, rm=16, max_boxes=8, with_boxes=True):
+    S = img_size
+    sizes = [S // 8, S // 16, S // 32]
+    det_levels = [
+        (rng.randn(B, n, n, 4 * rm + nc) * 2).astype(np.float32) for n in sizes
+    ]
+    seg_logits = rng.randn(B, S, S, 1).astype(np.float32)
+    cls_logits = rng.randn(B, nc).astype(np.float32)
+    masks = (rng.rand(B, S, S, 1) > 0.5).astype(np.float32)
+    img_cls = rng.randint(0, nc, B).astype(np.int32)
+
+    boxes = np.zeros((B, max_boxes, 5), np.float32)
+    valid = np.zeros((B, max_boxes), bool)
+    rows = []
+    if with_boxes:
+        for bi in range(B):
+            n = rng.randint(1, max_boxes)
+            for j in range(n):
+                cx, cy = rng.rand(2) * 0.6 + 0.2
+                w, h = rng.rand(2) * 0.3 + 0.1
+                c = rng.randint(0, nc)
+                boxes[bi, j] = [c, cx, cy, w, h]
+                valid[bi, j] = True
+                rows.append([bi, c, cx, cy, w, h])
+    gt_rows = np.asarray(rows, np.float32) if rows else np.zeros((0, 6), np.float32)
+    return det_levels, seg_logits, cls_logits, masks, img_cls, boxes, valid, gt_rows
+
+
+def run_both(rng, train, with_boxes=True, thresh=0.5):
+    cfg = LossConfig(img_size=64, nc_det=2, iou_match_thresh=thresh,
+                     det_label_smoothing=0.1)
+    (det_levels, seg_logits, cls_logits, masks, img_cls,
+     boxes, valid, gt_rows) = make_inputs(rng, with_boxes=with_boxes)
+
+    out = multitask_loss(
+        {
+            "det_feats": [jnp.asarray(l) for l in det_levels],
+            "seg_logits": jnp.asarray(seg_logits),
+            "cls_logits": jnp.asarray(cls_logits),
+        },
+        {
+            "boxes": jnp.asarray(boxes),
+            "box_valid": jnp.asarray(valid),
+            "mask": jnp.asarray(masks),
+            "img_cls": jnp.asarray(img_cls),
+        },
+        cfg,
+        train=train,
+    )
+    want_total, want_comp, want_npos = reference_loss_numpy(
+        det_levels, seg_logits, cls_logits, gt_rows, masks, img_cls, cfg, train
+    )
+    return out, want_total, want_comp, want_npos
+
+
+def test_loss_parity_train(rng):
+    # random logits rarely exceed IoU 0.5 vs GT; lower thresh to get positives
+    out, want_total, want_comp, want_npos = run_both(rng, train=True, thresh=0.05)
+    assert int(out.num_pos) == want_npos and want_npos > 0
+    for k, v in want_comp.items():
+        np.testing.assert_allclose(float(out.components[k]), v, rtol=2e-4, err_msg=k)
+    np.testing.assert_allclose(float(out.total), want_total, rtol=2e-4)
+
+
+def test_loss_parity_eval_no_smoothing(rng):
+    out, want_total, want_comp, _ = run_both(rng, train=False, thresh=0.05)
+    for k, v in want_comp.items():
+        np.testing.assert_allclose(float(out.components[k]), v, rtol=2e-4, err_msg=k)
+    np.testing.assert_allclose(float(out.total), want_total, rtol=2e-4)
+
+
+def test_loss_no_positives_falls_back_to_batch_size(rng):
+    # IoU threshold 0.99 → no positives; det terms are 0/batch_size = 0
+    out, want_total, want_comp, want_npos = run_both(rng, train=True, thresh=0.999)
+    assert int(out.num_pos) == 0 == want_npos
+    assert float(out.components["box_iou"]) == 0.0
+    assert float(out.components["dfl"]) == 0.0
+    np.testing.assert_allclose(float(out.total), want_total, rtol=2e-4)
+
+
+def test_loss_no_gt_at_all(rng):
+    out, want_total, want_comp, _ = run_both(rng, train=True, with_boxes=False)
+    assert int(out.num_pos) == 0
+    assert float(out.components["box_iou"]) == 0.0
+    np.testing.assert_allclose(float(out.total), want_total, rtol=2e-4)
+    assert np.isfinite(float(out.total))
+
+
+def test_loss_gradients_finite(rng):
+    import jax
+
+    cfg = LossConfig(img_size=64, nc_det=2, iou_match_thresh=0.05)
+    (det_levels, seg_logits, cls_logits, masks, img_cls,
+     boxes, valid, _) = make_inputs(rng)
+
+    def f(dl, sl, cl):
+        out = multitask_loss(
+            {"det_feats": dl, "seg_logits": sl, "cls_logits": cl},
+            {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid),
+             "mask": jnp.asarray(masks), "img_cls": jnp.asarray(img_cls)},
+            cfg, train=True,
+        )
+        return out.total
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(
+        [jnp.asarray(l) for l in det_levels],
+        jnp.asarray(seg_logits), jnp.asarray(cls_logits),
+    )
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()

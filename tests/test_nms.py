@@ -1,0 +1,94 @@
+"""batched_nms vs an independent numpy greedy-NMS oracle (torchvision
+semantics: descending score order, suppress IoU > threshold)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from multitask_bonetumor_yolo_tpu.ops.nms import batched_nms, postprocess_detections
+
+
+def np_greedy_nms(boxes, scores, iou_thresh):
+    """Indices kept, in descending score order (stable ties)."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (area_i + areas - inter + 1e-7)
+        suppressed |= iou > iou_thresh
+    return keep
+
+
+def random_boxes(rng, n, size=640):
+    cx = rng.rand(n) * size
+    cy = rng.rand(n) * size
+    w = rng.rand(n) * 100 + 5
+    h = rng.rand(n) * 100 + 5
+    b = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    return np.clip(b, 0, size).astype(np.float32)
+
+
+def test_nms_matches_numpy_oracle(rng):
+    B, A = 3, 200
+    boxes = np.stack([random_boxes(rng, A) for _ in range(B)])
+    scores = rng.rand(B, A).astype(np.float32)
+    labels = rng.randint(0, 2, (B, A)).astype(np.int32)
+
+    res = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_thresh=0.6, conf_thresh=0.05, top_k=100, pre_nms_top_k=200,
+    )
+    for b in range(B):
+        conf_mask = scores[b] > 0.05
+        idx = np.where(conf_mask)[0]
+        want_keep = [idx[k] for k in np_greedy_nms(boxes[b][idx], scores[b][idx], 0.6)]
+        want_keep = want_keep[:100]
+        nvalid = int(np.asarray(res.valid[b]).sum())
+        assert nvalid == len(want_keep)
+        np.testing.assert_allclose(
+            np.asarray(res.boxes[b])[:nvalid], boxes[b][want_keep], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.scores[b])[:nvalid], scores[b][want_keep], atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.labels[b])[:nvalid], labels[b][want_keep]
+        )
+
+
+def test_nms_all_below_conf():
+    boxes = jnp.ones((1, 10, 4))
+    scores = jnp.full((1, 10), 0.01)
+    labels = jnp.zeros((1, 10), jnp.int32)
+    res = batched_nms(boxes, scores, labels, conf_thresh=0.05, top_k=5, pre_nms_top_k=10)
+    assert not bool(res.valid.any())
+    assert np.asarray(res.labels).min() == -1
+
+
+def test_nms_identical_boxes_keep_one():
+    b = jnp.tile(jnp.array([[10.0, 10.0, 50.0, 50.0]]), (6, 1))[None]
+    s = jnp.asarray(np.linspace(0.9, 0.4, 6, dtype=np.float32))[None]
+    l = jnp.zeros((1, 6), jnp.int32)
+    res = batched_nms(b, s, l, iou_thresh=0.6, conf_thresh=0.05, top_k=6, pre_nms_top_k=6)
+    assert int(res.valid.sum()) == 1
+    assert float(res.scores[0, 0]) == np.float32(0.9)
+
+
+def test_postprocess_shapes():
+    B, A, nc = 2, 8400, 2
+    preds = np.zeros((B, A, 4 + nc), np.float32)
+    preds[:, 0, :4] = [100, 100, 50, 40]  # xywh
+    preds[:, 0, 4] = 0.8
+    res = postprocess_detections(jnp.asarray(preds), img_size=640)
+    assert res.boxes.shape == (B, 100, 4)
+    assert int(res.valid.sum()) == B
+    np.testing.assert_allclose(np.asarray(res.boxes[0, 0]), [75, 80, 125, 120], atol=1e-4)
