@@ -1,0 +1,247 @@
+"""BTXRD dataset + fixed-shape batch loader.
+
+Parity target: /root/reference/src/dataset_btxrdv2.py.
+  * directory contract (:25-27): root/{images/*.jpeg, labels_det/*.txt,
+    masks/*.png, img_cls.csv};
+  * seeded STRATIFIED train/val split by image class (:80-103): per-class
+    shuffle with np.random.RandomState(seed), k = round(train_ratio * n),
+    then shuffle the combined splits; split "all"/"test" = every item;
+  * top-left letterbox to img_size with gray(114) pad, bilinear image /
+    nearest mask resize (:109-134);
+  * YOLO box rescale + sub-pixel drops + [0,1] clip (:168-248) — implemented
+    once in core.letterbox.scale_boxes_to_letterbox;
+  * mask binarisation: the reference divides by 255 then thresholds at 0.5,
+    which zeroes the parser's value-127 masks (SURVEY.md §2.4). We binarise
+    ``mask > 0`` — any nonzero pixel is foreground.
+
+TPU-first redesign (SURVEY.md §7.2): instead of the reference's ragged
+[ΣN, 6] concat (dataset_btxrdv2.py:261-284), batches are FIXED-SHAPE dicts —
+GT boxes padded to ``max_boxes`` with a validity mask — so loss/metrics
+vectorize and jit never re-traces:
+
+  image     uint8  [B, S, S, 3]   RGB letterboxed (normalised on device)
+  boxes     f32    [B, M, 5]      (cls, xc, yc, w, h) normalised to [0,1]
+  box_valid bool   [B, M]
+  mask      f32    [B, S, S, 1]   binary
+  img_cls   int32  [B]
+  id        int32  [B]
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..core.letterbox import letterbox_geometry, scale_boxes_to_letterbox, PAD_VALUE
+
+try:  # cv2 is the fast path; PIL fallback keeps the loader importable anywhere
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+    from PIL import Image
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    root: str = "btxrd_ready"
+    img_size: int = 640
+    train_ratio: float = 0.8
+    seed: int = 42
+    max_boxes: int = 32
+    batch_size: int = 4
+    image_ext: str = ".jpeg"
+
+
+def _imread_color_rgb(path: str) -> np.ndarray:
+    if _HAS_CV2:
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(f"Image not found or corrupted: {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return np.asarray(Image.open(path).convert("RGB"))  # pragma: no cover
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    if _HAS_CV2:
+        m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(f"Mask not found or corrupted: {path}")
+        return m
+    return np.asarray(Image.open(path).convert("L"))  # pragma: no cover
+
+
+def _resize(img: np.ndarray, w: int, h: int, nearest: bool) -> np.ndarray:
+    if _HAS_CV2:
+        interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+        return cv2.resize(img, (w, h), interpolation=interp)
+    pil = Image.fromarray(img)  # pragma: no cover
+    return np.asarray(
+        pil.resize((w, h), Image.NEAREST if nearest else Image.BILINEAR)
+    )
+
+
+class BTXRD:
+    """Disk-backed dataset with the reference's stratified split."""
+
+    def __init__(self, cfg: DataConfig, split: str = "train"):
+        self.cfg = cfg
+        self.split = split.lower()
+        root = Path(cfg.root)
+        img_dir, det_dir, mask_dir = (
+            root / "images", root / "labels_det", root / "masks"
+        )
+
+        cls_lookup: Dict[str, int] = {}
+        csv_path = root / "img_cls.csv"
+        if csv_path.exists():
+            with open(csv_path, newline="") as f:
+                for row in csv.reader(f):
+                    if len(row) >= 2:
+                        cls_lookup[row[0]] = int(row[1])
+
+        complete: List[dict] = []
+        for idx, img_path in enumerate(sorted(img_dir.glob(f"*{cfg.image_ext}"))):
+            stem = img_path.stem
+            txt, msk = det_dir / f"{stem}.txt", mask_dir / f"{stem}.png"
+            if cls_lookup and img_path.name not in cls_lookup:
+                continue
+            if txt.exists() and msk.exists():
+                complete.append(
+                    dict(
+                        id=idx,
+                        img=img_path,
+                        txt=txt,
+                        msk=msk,
+                        cls=cls_lookup.get(img_path.name, 0),
+                    )
+                )
+        if not complete:
+            self.items: List[dict] = []
+            return
+
+        # stratified split, reference algorithm (dataset_btxrdv2.py:80-103)
+        rng = np.random.RandomState(cfg.seed)
+        buckets: Dict[int, List[dict]] = {}
+        for it in complete:
+            buckets.setdefault(it["cls"], []).append(it)
+        train_items: List[dict] = []
+        val_items: List[dict] = []
+        for _, bucket in buckets.items():
+            rng.shuffle(bucket)
+            k = int(round(cfg.train_ratio * len(bucket)))
+            train_items.extend(bucket[:k])
+            val_items.extend(bucket[k:])
+        rng.shuffle(train_items)
+        rng.shuffle(val_items)
+
+        if self.split == "train":
+            self.items = train_items
+        elif self.split in {"val", "valid", "validation"}:
+            self.items = val_items
+        else:  # "all" / "test"
+            rng.shuffle(complete)
+            self.items = complete
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        it = self.items[idx]
+        S = self.cfg.img_size
+        img = _imread_color_rgb(str(it["img"]))
+        mask = _imread_gray(str(it["msk"]))
+        h0, w0 = img.shape[:2]
+
+        scale, nh, nw = letterbox_geometry(h0, w0, S)
+        img_r = _resize(img, nw, nh, nearest=False)
+        mask_r = _resize(mask, nw, nh, nearest=True)
+
+        canvas = np.full((S, S, 3), PAD_VALUE, np.uint8)
+        canvas[:nh, :nw] = img_r
+        mask_canvas = np.zeros((S, S), mask.dtype)
+        mask_canvas[:nh, :nw] = mask_r
+        mask_bin = (mask_canvas > 0).astype(np.float32)[..., None]
+
+        rows = []
+        for line in Path(it["txt"]).read_text().splitlines():
+            parts = line.split()
+            if len(parts) < 5:
+                continue
+            try:
+                rows.append([float(p) for p in parts[:5]])
+            except ValueError:
+                continue
+        raw = np.asarray(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+        boxes = scale_boxes_to_letterbox(raw, h0, w0, S)
+
+        M = self.cfg.max_boxes
+        padded = np.zeros((M, 5), np.float32)
+        valid = np.zeros((M,), bool)
+        n = min(len(boxes), M)
+        if n:
+            padded[:n] = boxes[:n]
+            valid[:n] = True
+
+        return dict(
+            image=canvas,
+            boxes=padded,
+            box_valid=valid,
+            mask=mask_bin,
+            img_cls=np.int32(it["cls"]),
+            id=np.int32(it["id"]),
+        )
+
+    def class_histogram(self) -> Dict[int, int]:
+        hist: Dict[int, int] = {}
+        for it in self.items:
+            hist[it["cls"]] = hist.get(it["cls"], 0) + 1
+        return hist
+
+
+class BTXRDLoader:
+    """Minimal fixed-shape batch iterator (shuffle + drop_last for train).
+
+    Replaces torch DataLoader/collate (dataset_btxrdv2.py:261-284,
+    running_main_v3.py:755-766). Single-process: BTXRD item assembly is
+    cv2-bound and cheap relative to a TPU train step; an async host prefetch
+    wrapper lives in train/loop.py.
+    """
+
+    def __init__(
+        self,
+        dataset: BTXRD,
+        batch_size: Optional[int] = None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size or dataset.cfg.batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        stop = len(order) - (len(order) % bs) if self.drop_last else len(order)
+        for start in range(0, stop, bs):
+            idxs = order[start : start + bs]
+            items = [self.ds[int(i)] for i in idxs]
+            yield {
+                k: np.stack([it[k] for it in items]) for k in items[0].keys()
+            }

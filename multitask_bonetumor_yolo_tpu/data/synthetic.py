@@ -1,0 +1,120 @@
+"""Synthetic dataset generators for tests and benchmarks.
+
+``make_synthetic_btxrd`` emits a training-ready dir with the exact disk
+contract of the reference loader (dataset_btxrdv2.py:25-27); images contain
+bright rectangles that coincide with the GT boxes/masks so a model can
+actually fit them in smoke training runs.
+
+``make_synthetic_raw`` emits the converter's INPUT contract
+(label_parsing.py:96-132): labelme Annotations/*.json + images + metadata csv.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def _write_jpeg(path: Path, arr: np.ndarray) -> None:
+    try:
+        import cv2
+
+        cv2.imwrite(str(path), arr[..., ::-1])  # RGB -> BGR
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        Image.fromarray(arr).save(path, quality=95)
+
+
+def _write_png(path: Path, arr: np.ndarray) -> None:
+    try:
+        import cv2
+
+        cv2.imwrite(str(path), arr)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+
+
+def make_synthetic_btxrd(
+    dst: str,
+    n: int = 16,
+    seed: int = 0,
+    nc: int = 2,
+    min_size: int = 320,
+    max_size: int = 960,
+) -> Path:
+    """Training-ready synthetic dataset with 1-3 'tumors' per image."""
+    rng = np.random.RandomState(seed)
+    root = Path(dst)
+    for d in ("images", "labels_det", "masks"):
+        (root / d).mkdir(parents=True, exist_ok=True)
+
+    rows = []
+    for i in range(n):
+        h = int(rng.randint(min_size, max_size + 1))
+        w = int(rng.randint(min_size, max_size + 1))
+        img = (rng.rand(h, w, 3) * 40 + 30).astype(np.uint8)  # dark x-ray-ish bg
+        mask = np.zeros((h, w), np.uint8)
+        cls_id = int(i % nc)
+
+        lines = []
+        for _ in range(int(rng.randint(1, 4))):
+            bw = int(rng.randint(w // 8, w // 3))
+            bh = int(rng.randint(h // 8, h // 3))
+            x1 = int(rng.randint(0, w - bw))
+            y1 = int(rng.randint(0, h - bh))
+            img[y1 : y1 + bh, x1 : x1 + bw] = rng.randint(170, 255)
+            mask[y1 : y1 + bh, x1 : x1 + bw] = 255
+            xc, yc = (x1 + bw / 2) / w, (y1 + bh / 2) / h
+            lines.append(f"{cls_id} {xc:.6f} {yc:.6f} {bw / w:.6f} {bh / h:.6f}")
+
+        stem = f"synth_{i:04d}"
+        _write_jpeg(root / "images" / f"{stem}.jpeg", img)
+        (root / "labels_det" / f"{stem}.txt").write_text("\n".join(lines))
+        _write_png(root / "masks" / f"{stem}.png", mask)
+        rows.append(f"{stem}.jpeg,{cls_id}")
+
+    (root / "img_cls.csv").write_text("\n".join(rows) + "\n")
+    return root
+
+
+def make_synthetic_raw(dst: str, n: int = 8, seed: int = 0) -> Path:
+    """Converter-input synthetic dataset: labelme JSONs + images + meta csv."""
+    rng = np.random.RandomState(seed)
+    root = Path(dst)
+    (root / "Annotations").mkdir(parents=True, exist_ok=True)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+
+    meta_lines = ["image_id,tumor,benign"]
+    for i in range(n):
+        h, w = int(rng.randint(300, 600)), int(rng.randint(300, 600))
+        stem = f"raw_{i:04d}"
+        img = (rng.rand(h, w, 3) * 60 + 20).astype(np.uint8)
+        _write_jpeg(root / "images" / f"{stem}.jpeg", img)
+
+        x1, y1 = int(rng.randint(0, w // 2)), int(rng.randint(0, h // 2))
+        x2, y2 = x1 + int(rng.randint(30, w // 2)), y1 + int(rng.randint(30, h // 2))
+        shapes = [
+            {
+                "label": "tumor",
+                "shape_type": "rectangle",
+                "points": [[x1, y1], [x2, y2]],
+            },
+            {
+                "label": "tumor",
+                "shape_type": "polygon",
+                "points": [[x1, y1], [x2, y1], [x2, y2], [x1, y2]],
+            },
+        ]
+        ann = {"imageHeight": h, "imageWidth": w, "shapes": shapes}
+        (root / "Annotations" / f"{stem}.json").write_text(json.dumps(ann))
+        benign = int(i % 2 == 0)
+        # every synthetic image is a tumor image; alternate benign/malignant
+        meta_lines.append(f"{stem}.jpeg,1,{benign}")
+
+    (root / "dataset.csv").write_text("\n".join(meta_lines) + "\n")
+    return root

@@ -1,0 +1,180 @@
+"""Data layer: converter round-trip, dataset contract, stratified split,
+loader batching, on-device augments."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multitask_bonetumor_yolo_tpu.data import (
+    BTXRD,
+    BTXRDLoader,
+    DataConfig,
+    make_synthetic_btxrd,
+    make_synthetic_raw,
+)
+from multitask_bonetumor_yolo_tpu.data.convert import convert
+from multitask_bonetumor_yolo_tpu.data.preprocess import (
+    AugmentConfig,
+    augment_batch,
+    hsv_augment,
+    mosaic4,
+    normalize,
+    _rgb_to_hsv,
+    _hsv_to_rgb,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    return make_synthetic_btxrd(str(tmp_path_factory.mktemp("btxrd")), n=24, seed=1)
+
+
+def test_dataset_item_contract(synth_root):
+    cfg = DataConfig(root=str(synth_root), img_size=320, max_boxes=8)
+    ds = BTXRD(cfg, split="train")
+    assert len(ds) > 0
+    it = ds[0]
+    assert it["image"].shape == (320, 320, 3) and it["image"].dtype == np.uint8
+    assert it["boxes"].shape == (8, 5)
+    assert it["box_valid"].shape == (8,)
+    assert it["mask"].shape == (320, 320, 1)
+    assert set(np.unique(it["mask"])) <= {0.0, 1.0}
+    assert it["box_valid"].sum() >= 1
+    # boxes normalised
+    v = it["boxes"][it["box_valid"]]
+    assert (v[:, 1:] >= 0).all() and (v[:, 1:] <= 1).all()
+
+
+def test_dataset_mask_aligns_with_boxes(synth_root):
+    # synthetic boxes == bright rects == mask rects; after letterbox the
+    # mask fraction inside GT boxes should be ~1
+    cfg = DataConfig(root=str(synth_root), img_size=320, max_boxes=8)
+    ds = BTXRD(cfg, split="train")
+    it = ds[0]
+    S = 320
+    m = it["mask"][..., 0]
+    for row in it["boxes"][it["box_valid"]]:
+        _, xc, yc, w, h = row
+        x1, y1 = int((xc - w / 2) * S), int((yc - h / 2) * S)
+        x2, y2 = int(np.ceil((xc + w / 2) * S)), int(np.ceil((yc + h / 2) * S))
+        inside = m[y1 + 1 : y2 - 1, x1 + 1 : x2 - 1]
+        assert inside.size == 0 or inside.mean() > 0.95
+
+
+def test_stratified_split(synth_root):
+    cfg = DataConfig(root=str(synth_root))
+    tr, va = BTXRD(cfg, "train"), BTXRD(cfg, "val")
+    assert len(tr) + len(va) == 24
+    th, vh = tr.class_histogram(), va.class_histogram()
+    for c in set(th) | set(vh):
+        n_tr, n_va = th.get(c, 0), vh.get(c, 0)
+        ratio = n_tr / (n_tr + n_va)
+        assert abs(ratio - cfg.train_ratio) < 0.1  # 24 items: coarse check
+    # deterministic given the seed
+    tr2 = BTXRD(cfg, "train")
+    assert [it["id"] for it in tr.items] == [it["id"] for it in tr2.items]
+    # no leakage
+    assert not ({it["id"] for it in tr.items} & {it["id"] for it in va.items})
+
+
+def test_split_all_returns_everything(synth_root):
+    cfg = DataConfig(root=str(synth_root))
+    assert len(BTXRD(cfg, "all")) == 24
+    assert len(BTXRD(cfg, "test")) == 24
+
+
+def test_loader_shapes_and_drop_last(synth_root):
+    cfg = DataConfig(root=str(synth_root), img_size=320, max_boxes=8, batch_size=5)
+    ds = BTXRD(cfg, "all")
+    loader = BTXRDLoader(ds, shuffle=True, drop_last=True, seed=3)
+    batches = list(loader)
+    assert len(batches) == 24 // 5 == len(loader)
+    b = batches[0]
+    assert b["image"].shape == (5, 320, 320, 3)
+    assert b["boxes"].shape == (5, 8, 5)
+    assert b["mask"].shape == (5, 320, 320, 1)
+    assert b["img_cls"].shape == (5,)
+    loader2 = BTXRDLoader(ds, shuffle=False, drop_last=False)
+    assert len(list(loader2)) == (24 + cfg.batch_size - 1) // cfg.batch_size
+
+
+def test_converter_roundtrip(tmp_path):
+    raw = make_synthetic_raw(str(tmp_path / "raw"), n=6, seed=2)
+    n = convert(str(raw), str(raw / "dataset.csv"), str(tmp_path / "ready"))
+    assert n == 6
+    cfg = DataConfig(root=str(tmp_path / "ready"), img_size=256, max_boxes=4)
+    ds = BTXRD(cfg, "all")
+    assert len(ds) == 6
+    it = ds[0]
+    assert it["box_valid"].sum() == 1  # one rectangle per synthetic annotation
+    assert it["mask"].max() == 1.0  # polygon rasterised AND survives binarise
+    # classes alternate benign(0)/malignant(1)
+    classes = sorted({int(d["img_cls"]) for d in (ds[i] for i in range(6))})
+    assert classes == [0, 1]
+
+
+# ---------------------------------------------------------------- device ops
+def test_normalize():
+    u8 = jnp.asarray(np.array([[[[0, 128, 255]]]], np.uint8))
+    out = np.asarray(normalize(u8))
+    np.testing.assert_allclose(out, [[[[0.0, 128 / 255, 1.0]]]], atol=1e-6)
+
+
+def test_hsv_roundtrip(rng):
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    back = _hsv_to_rgb(_rgb_to_hsv(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_hsv_augment_zero_gain_identity(rng):
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    out = hsv_augment(x, jax.random.PRNGKey(0), (0.0, 0.0, 0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_mosaic4_boxes(rng):
+    S, M = 64, 4
+    images = jnp.asarray(rng.rand(4, S, S, 3).astype(np.float32))
+    masks = jnp.zeros((4, S, S, 1))
+    boxes = np.zeros((4, M, 5), np.float32)
+    valid = np.zeros((4, M), bool)
+    for i in range(4):
+        boxes[i, 0] = [i % 2, 0.5, 0.5, 0.4, 0.4]
+        valid[i, 0] = True
+    img, b, v, m = mosaic4(images, jnp.asarray(boxes), jnp.asarray(valid), masks)
+    assert img.shape == (1, S, S, 3)
+    assert int(v.sum()) == 4
+    got = np.asarray(b[0][:4])
+    # quadrant centers: (0.25,0.25),(0.75,0.25),(0.25,0.75),(0.75,0.75)
+    np.testing.assert_allclose(got[:, 1:3],
+        [[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]], atol=1e-6)
+    np.testing.assert_allclose(got[:, 3:], 0.2, atol=1e-6)
+
+
+def test_augment_batch_parity_mode(synth_root):
+    cfg = DataConfig(root=str(synth_root), img_size=320, max_boxes=8, batch_size=4)
+    loader = BTXRDLoader(BTXRD(cfg, "all"))
+    batch = next(iter(loader))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = augment_batch(jbatch, jax.random.PRNGKey(0), AugmentConfig())
+    assert out["image"].dtype == jnp.float32
+    assert float(out["image"].max()) <= 1.0
+    np.testing.assert_array_equal(np.asarray(out["boxes"]), batch["boxes"])
+
+
+def test_augment_batch_full_pipeline(synth_root):
+    cfg = DataConfig(root=str(synth_root), img_size=320, max_boxes=8, batch_size=8)
+    loader = BTXRDLoader(BTXRD(cfg, "all"))
+    batch = next(iter(loader))
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    acfg = AugmentConfig(hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, hflip_prob=0.5,
+                         mosaic_prob=1.0)
+    out = jax.jit(lambda b, k: augment_batch(b, k, acfg))(
+        jbatch, jax.random.PRNGKey(1)
+    )
+    assert out["image"].shape == (2, 320, 320, 3)  # 8 -> 2 mosaics
+    assert out["boxes"].shape == (2, 8, 5)
+    assert bool(out["box_valid"].any())
+    v = np.asarray(out["boxes"])[np.asarray(out["box_valid"])]
+    assert (v[:, 1:] >= 0).all() and (v[:, 1:] <= 1).all()
