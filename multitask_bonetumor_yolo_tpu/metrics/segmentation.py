@@ -1,0 +1,97 @@
+"""Binary segmentation metrics (threshold 0.5): F1 / Precision / Recall /
+Pixel-Accuracy / Dice.
+
+Parity target: the torchmetrics objects at
+/root/reference/src/running_main_v3.py:198-202 (BinaryPrecision/Recall/
+Accuracy, F1Score(task="binary"), DiceScore) — all are micro-aggregated
+counters over every pixel of every update, so one accumulated
+(tp, fp, fn, tn) tuple reproduces them:
+
+  precision = tp/(tp+fp)   recall = tp/(tp+fn)   accuracy = (tp+tn)/total
+  f1 = dice = 2tp/(2tp+fp+fn)
+
+The per-batch count kernel is jittable; accumulation happens host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def binary_counts(probs: jnp.ndarray, gt: jnp.ndarray, thresh: float = 0.5):
+    """probs/gt: any matching shape. Returns (tp, fp, fn, tn) scalars."""
+    pred = probs > thresh
+    pos = gt > 0.5
+    tp = jnp.sum(pred & pos)
+    fp = jnp.sum(pred & ~pos)
+    fn = jnp.sum(~pred & pos)
+    tn = jnp.sum(~pred & ~pos)
+    return tp, fp, fn, tn
+
+
+class BinarySegMetrics:
+    """Accumulating micro binary-segmentation metrics."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.tp = self.fp = self.fn = self.tn = 0
+
+    def update(self, probs, gt) -> None:
+        tp, fp, fn, tn = binary_counts(jnp.asarray(probs), jnp.asarray(gt))
+        self.tp += int(tp)
+        self.fp += int(fp)
+        self.fn += int(fn)
+        self.tn += int(tn)
+
+    def compute(self) -> Dict[str, float]:
+        eps = 1e-12
+        tp, fp, fn, tn = self.tp, self.fp, self.fn, self.tn
+        total = tp + fp + fn + tn
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+        return {
+            "precision": float(precision),
+            "recall": float(recall),
+            "f1": float(f1),
+            "dice": float(f1),  # binary micro dice == micro F1
+            "accuracy": float((tp + tn) / max(total, 1)),
+            "iou": float(tp / max(tp + fp + fn, 1)),
+        }
+
+
+def mask_map_inputs(seg_probs: np.ndarray, gt_masks: np.ndarray, thresh: float = 0.5):
+    """Build per-image pred/target dicts for MeanAveragePrecision(iou_type=
+    'segm') the way the reference does (running_main_v3.py:478-498): one
+    whole-image binary mask per image, single class 0, score = mean
+    probability over predicted-foreground pixels.
+
+    seg_probs/gt_masks: [B, H, W] (or [B, H, W, 1])."""
+    seg_probs = np.asarray(seg_probs)
+    gt_masks = np.asarray(gt_masks)
+    if seg_probs.ndim == 4:
+        seg_probs = seg_probs[..., 0]
+    if gt_masks.ndim == 4:
+        gt_masks = gt_masks[..., 0]
+    preds, targets = [], []
+    for i in range(seg_probs.shape[0]):
+        pm = seg_probs[i] > thresh
+        score = float((seg_probs[i] * pm).sum() / (pm.sum() + 1e-6))
+        preds.append(
+            dict(
+                masks=pm[None],
+                scores=np.asarray([score], np.float32),
+                labels=np.zeros((1,), np.int64),
+            )
+        )
+        targets.append(
+            dict(masks=(gt_masks[i] > 0.5)[None], labels=np.zeros((1,), np.int64))
+        )
+    return preds, targets
