@@ -220,11 +220,13 @@ class BTXRDLoader:
         shuffle: bool = False,
         drop_last: bool = False,
         seed: int = 0,
+        pad_last: bool = False,
     ):
         self.ds = dataset
         self.batch_size = batch_size or dataset.cfg.batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.pad_last = pad_last
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -242,6 +244,11 @@ class BTXRDLoader:
         for start in range(0, stop, bs):
             idxs = order[start : start + bs]
             items = [self.ds[int(i)] for i in idxs]
-            yield {
-                k: np.stack([it[k] for it in items]) for k in items[0].keys()
-            }
+            nreal = len(items)
+            if self.pad_last and nreal < bs:
+                # jit needs static shapes: replicate the last sample to fill
+                # the batch; 'sample_valid' marks padding for metric code
+                items = items + [items[-1]] * (bs - nreal)
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0].keys()}
+            batch["sample_valid"] = np.arange(len(items)) < nreal
+            yield batch

@@ -196,7 +196,7 @@ def augment_batch(
     if cfg.hflip_prob > 0:
         images, boxes, masks = random_hflip(images, boxes, masks, k_flip, cfg.hflip_prob)
 
-    return dict(
+    out = dict(
         image=images,
         boxes=boxes,
         box_valid=valid,
@@ -204,3 +204,6 @@ def augment_batch(
         img_cls=img_cls,
         id=batch["id"][: images.shape[0]],
     )
+    if "sample_valid" in batch:
+        out["sample_valid"] = batch["sample_valid"][: images.shape[0]]
+    return out

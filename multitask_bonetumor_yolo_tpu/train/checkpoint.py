@@ -1,0 +1,110 @@
+"""Orbax-backed checkpointing with top-K-on-metric + save-last semantics.
+
+Parity target: Lightning ModelCheckpoint at
+/root/reference/src/running_main_v3.py:799-805 — save_top_k=2 monitoring
+val mAP50 (mode max), save_last=True — plus restore-for-eval
+(evaluate_model.py:60-65). Checkpoints hold {params, batch_stats, opt_state,
+step} with a sidecar metrics.json so 'best' selection survives restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, top_k: int = 2, mode: str = "max"):
+        self.dir = Path(directory).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.top_k = top_k
+        self.mode = mode
+        self._ckptr = ocp.StandardCheckpointer()
+        self._index_path = self.dir / "index.json"
+        self._index: Dict[str, dict] = {}
+        if self._index_path.exists():
+            self._index = json.loads(self._index_path.read_text())
+
+    # ------------------------------------------------------------------
+    def _write_index(self) -> None:
+        self._index_path.write_text(json.dumps(self._index, indent=2))
+
+    def _tree(self, state) -> Dict[str, Any]:
+        return {
+            "step": state.step,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+        }
+
+    def save(self, state, step: int, metric: Optional[float] = None,
+             epoch: Optional[int] = None) -> Path:
+        """Save as step_{step}; prune to top-K by metric, always keeping the
+        newest ('last') checkpoint."""
+        name = f"step_{step:08d}"
+        path = self.dir / name
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckptr.save(path, self._tree(state))
+        self._ckptr.wait_until_finished()
+        self._index[name] = {
+            "step": step,
+            "metric": metric,
+            "epoch": epoch,
+        }
+        self._prune()
+        self._write_index()
+        return path
+
+    def _prune(self) -> None:
+        names = sorted(self._index, key=lambda n: self._index[n]["step"])
+        if not names:
+            return
+        last = names[-1]
+        scored = [n for n in names if self._index[n]["metric"] is not None]
+        sign = 1.0 if self.mode == "max" else -1.0
+        ranked = sorted(
+            scored, key=lambda n: sign * self._index[n]["metric"], reverse=True
+        )
+        keep = set(ranked[: self.top_k]) | {last}
+        for n in names:
+            if n not in keep:
+                shutil.rmtree(self.dir / n, ignore_errors=True)
+                del self._index[n]
+
+    # ------------------------------------------------------------------
+    def best_path(self) -> Optional[Path]:
+        scored = [n for n in self._index if self._index[n]["metric"] is not None]
+        if not scored:
+            return self.last_path()
+        sign = 1.0 if self.mode == "max" else -1.0
+        best = max(scored, key=lambda n: sign * self._index[n]["metric"])
+        return self.dir / best
+
+    def last_path(self) -> Optional[Path]:
+        if not self._index:
+            return None
+        last = max(self._index, key=lambda n: self._index[n]["step"])
+        return self.dir / last
+
+    def restore(self, state, path: Optional[str] = None):
+        """Restore into an abstractly-matching TrainState (created with the
+        same configs). path=None restores 'last'."""
+        target = Path(path) if path else self.last_path()
+        if target is None or not Path(target).exists():
+            raise FileNotFoundError(f"No checkpoint at {target}")
+        abstract = jax.tree.map(
+            ocp.utils.to_shape_dtype_struct, self._tree(state)
+        )
+        restored = self._ckptr.restore(Path(target).absolute(), abstract)
+        return state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )

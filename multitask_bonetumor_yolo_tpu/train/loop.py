@@ -1,0 +1,277 @@
+"""Training orchestration: epochs, validation, checkpointing, early stopping.
+
+Parity target: the Lightning stack of the reference —
+``MultiTaskLitModel`` train/val steps + epoch hooks
+(/root/reference/src/running_main_v3.py:393-730), ``BTXRDDataModule``
+(:746-766) and the ``__main__`` trainer wiring (:769-841): seed 123,
+bf16 compute, grad-clip 10, ModelCheckpoint(top-2 on val mAP50, save_last),
+EarlyStopping(patience 50 on val mAP50), LR monitoring, per-epoch val with
+mAP50 every epoch and mAP50-95 every ``map_full_freq`` epochs, seg/cls
+metric suites, confusion matrices, example overlays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..data import BTXRD, BTXRDLoader, DataConfig
+from ..data.preprocess import AugmentConfig
+from ..losses import LossConfig
+from ..metrics import (
+    BinarySegMetrics,
+    ClassificationMetrics,
+    MeanAveragePrecision,
+)
+from ..metrics.segmentation import mask_map_inputs
+from ..models import ModelConfig
+from ..parallel import create_mesh, shard_batch
+from ..utils.logging import RunLogger
+from .checkpoint import CheckpointManager
+from .state import TrainConfig, TrainState, create_train_state, lr_at
+from .steps import make_eval_step, make_train_step
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = ModelConfig()
+    data: DataConfig = DataConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    augment: AugmentConfig = AugmentConfig()
+    run_dir: str = "runs/default"
+    log_every: int = 10
+    viz_every_epochs: int = 50  # mask/box overlay cadence (reference: 50)
+    wandb_project: Optional[str] = None
+
+    def __post_init__(self):
+        # keep the three img_size knobs coherent
+        assert self.model.img_size == self.data.img_size == self.loss.img_size, (
+            "img_size must match across model/data/loss configs"
+        )
+
+
+def gt_to_map_targets(boxes: np.ndarray, valid: np.ndarray, img_size: int):
+    """Padded GT -> per-image mAP target dicts (xyxy absolute, clamped —
+    running_main_v3.py:560-570)."""
+    out = []
+    for i in range(boxes.shape[0]):
+        v = valid[i].astype(bool)
+        b = boxes[i][v]
+        xyxy = np.stack(
+            [
+                (b[:, 1] - b[:, 3] / 2) * img_size,
+                (b[:, 2] - b[:, 4] / 2) * img_size,
+                (b[:, 1] + b[:, 3] / 2) * img_size,
+                (b[:, 2] + b[:, 4] / 2) * img_size,
+            ],
+            axis=-1,
+        ).clip(0, img_size) if len(b) else np.zeros((0, 4), np.float32)
+        out.append(dict(boxes=xyxy, labels=b[:, 0].astype(np.int64)))
+    return out
+
+
+def nms_to_map_preds(aux: Dict[str, np.ndarray]):
+    """Batched NMS output -> per-image mAP pred dicts."""
+    out = []
+    boxes = np.asarray(aux["nms_boxes"])
+    scores = np.asarray(aux["nms_scores"])
+    labels = np.asarray(aux["nms_labels"])
+    valid = np.asarray(aux["nms_valid"]).astype(bool)
+    for i in range(boxes.shape[0]):
+        v = valid[i]
+        out.append(
+            dict(boxes=boxes[i][v], scores=scores[i][v],
+                 labels=labels[i][v].astype(np.int64))
+        )
+    return out
+
+
+class ValidationMetrics:
+    """Bundles every accumulator the reference's validation epoch keeps."""
+
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        tc = cfg.train
+        self.seg = BinarySegMetrics()
+        self.cls = ClassificationMetrics(cfg.model.nc_img)
+        self.det_cm = ClassificationMetrics(cfg.model.nc_det)
+        self.map50 = MeanAveragePrecision(
+            iou_thresholds=[0.5],
+            max_detection_thresholds=[1, 10, tc.eval_top_k],
+        )
+        self.map50_95 = MeanAveragePrecision(
+            max_detection_thresholds=[1, 10, tc.eval_top_k],
+        )
+        self.seg_map = MeanAveragePrecision(iou_type="segm")
+        self.losses: Dict[str, list] = {}
+
+    def update(self, metrics, aux, batch) -> None:
+        # trim padded samples from a pad_last final batch
+        sv = np.asarray(
+            batch.get("sample_valid", np.ones(len(batch["img_cls"]), bool))
+        ).astype(bool)
+        for k, v in metrics.items():
+            self.losses.setdefault(k, []).append(float(v))
+        seg_prob = np.asarray(aux["seg_prob"])[sv]
+        gt_mask = np.asarray(batch["mask"])[sv]
+        self.seg.update(seg_prob, gt_mask)
+        p, t = mask_map_inputs(seg_prob, gt_mask)
+        self.seg_map.update(p, t)
+        self.cls.update(
+            np.asarray(aux["cls_logits"])[sv], np.asarray(batch["img_cls"])[sv]
+        )
+        mask = np.asarray(aux["cm_mask"]).astype(bool) & sv[:, None]
+        if mask.any():
+            self.det_cm.update(
+                np.asarray(aux["cm_pred"])[mask], np.asarray(aux["cm_gt"])[mask]
+            )
+        preds = [p for p, ok in zip(nms_to_map_preds(aux), sv) if ok]
+        targets = [
+            t
+            for t, ok in zip(
+                gt_to_map_targets(
+                    np.asarray(batch["boxes"]), np.asarray(batch["box_valid"]),
+                    self.cfg.model.img_size,
+                ),
+                sv,
+            )
+            if ok
+        ]
+        self.map50.update(preds, targets)
+        self.map50_95.update(preds, targets)
+
+    def compute(self, full_map: bool) -> Dict[str, float]:
+        out = {f"{k}": float(np.mean(v)) for k, v in self.losses.items()}
+        seg = self.seg.compute()
+        out.update({f"seg_{k}": v for k, v in seg.items()})
+        segm = self.seg_map.compute()
+        out.update(
+            {f"seg_map_{k}": v for k, v in segm.items()
+             if isinstance(v, (int, float))}
+        )
+        cls = self.cls.compute()
+        out.update({f"img_{k}": v for k, v in cls.items()})
+        m50 = self.map50.compute()
+        out.update(
+            {f"map_iou50_{k}": v for k, v in m50.items()
+             if isinstance(v, (int, float))}
+        )
+        if full_map:
+            m = self.map50_95.compute()
+            out.update(
+                {f"map_iou50_95_{k}": v for k, v in m.items()
+                 if isinstance(v, (int, float))}
+            )
+        return out
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig):
+        self.cfg = cfg
+        self.logger = RunLogger(cfg.run_dir, cfg.wandb_project)
+        self.mesh = create_mesh()
+        self.train_ds = BTXRD(cfg.data, "train")
+        self.val_ds = BTXRD(cfg.data, "val")
+        if len(self.train_ds) == 0:
+            raise RuntimeError(f"No training data under {cfg.data.root}")
+        steps = max(1, len(self.train_ds) // cfg.data.batch_size)
+        self.train_cfg = dataclasses.replace(cfg.train, steps_per_epoch=steps)
+        self.state = create_train_state(cfg.model, self.train_cfg)
+        self.train_step = make_train_step(cfg.model, cfg.loss, cfg.augment)
+        self.eval_step = make_eval_step(cfg.model, cfg.loss, self.train_cfg)
+        self.ckpt = CheckpointManager(
+            f"{cfg.run_dir}/{self.train_cfg.ckpt_dir}",
+            top_k=self.train_cfg.ckpt_top_k,
+        )
+        self.rng = jax.random.PRNGKey(self.train_cfg.seed)
+
+    # ------------------------------------------------------------------
+    def fit(self, max_epochs: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        epochs = max_epochs or self.train_cfg.max_epochs
+        best_metric, best_epoch = -float("inf"), -1
+        global_step = int(self.state.step)
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            loader = BTXRDLoader(
+                self.train_ds, cfg.data.batch_size, shuffle=True,
+                drop_last=True, seed=self.train_cfg.seed + epoch,
+            )
+            for batch in loader:
+                self.rng, step_rng = jax.random.split(self.rng)
+                sharded = shard_batch(batch, self.mesh)
+                self.state, metrics = self.train_step(
+                    self.state, sharded, step_rng
+                )
+                global_step += 1
+                if global_step % cfg.log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    metrics["lr"] = lr_at(self.train_cfg, global_step)
+                    self.logger.log(
+                        metrics, global_step, prefix="train_step",
+                        to_console=True,
+                    )
+
+            val = self.validate(epoch, global_step)
+            map50 = val.get("map_iou50_map", -1.0)
+            self.ckpt.save(self.state, global_step, metric=map50, epoch=epoch)
+            self.logger.log(
+                {"epoch": epoch, "epoch_time_s": time.time() - t0},
+                global_step, prefix="train_epoch",
+            )
+            if map50 > best_metric:
+                best_metric, best_epoch = map50, epoch
+            elif epoch - best_epoch >= self.train_cfg.early_stop_patience:
+                print(f"[early-stop] no val mAP50 improvement for "
+                      f"{self.train_cfg.early_stop_patience} epochs")
+                break
+        return self.state
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int, global_step: int) -> Dict[str, float]:
+        cfg = self.cfg
+        vm = ValidationMetrics(cfg)
+        loader = BTXRDLoader(self.val_ds, cfg.data.batch_size, pad_last=True)
+        first = True
+        for batch in loader:
+            sharded = shard_batch(batch, self.mesh)
+            metrics, aux = self.eval_step(self.state, sharded)
+            vm.update(metrics, aux, batch)
+            if first and epoch % cfg.viz_every_epochs == 0:
+                self._log_examples(batch, aux, epoch, global_step)
+            first = False
+        full = epoch % self.train_cfg.map_full_freq == 0
+        out = vm.compute(full_map=full)
+        self.logger.log(out, global_step, prefix="val_epoch", to_console=True)
+        cm = vm.cls.normalized_cm()
+        self.logger.log_confusion_matrix(
+            cm, {i: f"imgC{i}" for i in range(cfg.model.nc_img)},
+            "img_confusion_matrix", global_step,
+        )
+        if vm.det_cm.cm.sum() > 0:
+            self.logger.log_confusion_matrix(
+                vm.det_cm.normalized_cm(),
+                {i: f"detC{i}" for i in range(cfg.model.nc_det)},
+                "det_confusion_matrix", global_step,
+            )
+        return out
+
+    def _log_examples(self, batch, aux, epoch, step) -> None:
+        imgs = np.asarray(batch["image"]).astype(np.float32) / 255.0
+        self.logger.log_seg_examples(
+            imgs, np.asarray(aux["seg_prob"]), np.asarray(batch["mask"]),
+            stage="val", step=step,
+        )
+        self.logger.log_det_examples(
+            imgs,
+            np.asarray(aux["nms_boxes"]), np.asarray(aux["nms_scores"]),
+            np.asarray(aux["nms_labels"]), np.asarray(aux["nms_valid"]),
+            np.asarray(batch["boxes"]), np.asarray(batch["box_valid"]),
+            stage="val", step=step,
+        )

@@ -1,0 +1,108 @@
+"""Train state + optimizer.
+
+Parity target: ``configure_optimizers``
+(/root/reference/src/running_main_v3.py:732-743): AdamW(lr 1e-4, wd 5e-4) +
+CosineAnnealingLR(T_max=max_epochs, eta_min=lr*0.01), with Lightning's
+``gradient_clip_val=10.0`` (:826). Here: optax.adamw under a per-step cosine
+schedule (decay_steps = max_epochs * steps_per_epoch, alpha = 0.01) chained
+after global-norm clipping — same trajectory, stepped per optimizer step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..models import MultitaskModel, ModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 5e-4
+    max_epochs: int = 500
+    steps_per_epoch: int = 100  # set from the dataset by the loop
+    grad_clip: float = 10.0
+    cosine_alpha: float = 0.01  # eta_min = lr * alpha
+    seed: int = 123
+    early_stop_patience: int = 50  # epochs without mAP50 improvement
+    map_full_freq: int = 5  # epochs between full mAP50-95 computes
+    ckpt_dir: str = "checkpoints"
+    ckpt_top_k: int = 2
+    eval_conf_thresh: float = 0.05
+    eval_nms_iou: float = 0.6
+    eval_top_k: int = 100
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, batch_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=batch_stats,
+            opt_state=new_opt,
+        )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.cosine_decay_schedule(
+        init_value=cfg.lr,
+        decay_steps=max(1, cfg.max_epochs * cfg.steps_per_epoch),
+        alpha=cfg.cosine_alpha,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def lr_at(cfg: TrainConfig, step: int) -> float:
+    schedule = optax.cosine_decay_schedule(
+        init_value=cfg.lr,
+        decay_steps=max(1, cfg.max_epochs * cfg.steps_per_epoch),
+        alpha=cfg.cosine_alpha,
+    )
+    return float(schedule(step))
+
+
+def create_train_state(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    rng: Optional[jax.Array] = None,
+    params: Optional[Any] = None,
+    batch_stats: Optional[Any] = None,
+) -> TrainState:
+    """Initialise (jitted — flax eager init is pathologically slow on TPU)."""
+    model = MultitaskModel(model_cfg)
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(train_cfg.seed)
+
+        @jax.jit
+        def init(key):
+            x = jnp.zeros((1, model_cfg.img_size, model_cfg.img_size, 3))
+            return model.init(key, x, train=True, mode="train")
+
+        variables = init(rng)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+    tx = make_optimizer(train_cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

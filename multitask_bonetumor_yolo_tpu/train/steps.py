@@ -1,0 +1,127 @@
+"""Jitted train / eval steps (mesh-sharded).
+
+Parity targets:
+  * training_step — /root/reference/src/running_main_v3.py:393-445
+    (forward mode='train' -> 5-term loss -> backward + AdamW + clip);
+  * validation_step — :447-599 (forward mode='train' for losses AND decode —
+    the reference's deliberate BN quirk — then conf-filter/NMS/top-K).
+
+TPU-native: steps are pure functions jitted once; the batch arrives sharded
+over the mesh 'data' axis (parallel/mesh.py) so XLA emits the gradient
+all-reduce over ICI automatically. Augmentation (data/preprocess.py) runs
+inside the jitted step — host only ships uint8 canvases.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.preprocess import AugmentConfig, augment_batch, normalize
+from ..losses import LossConfig, multitask_loss
+from ..models import MultitaskModel, ModelConfig
+from ..models.heads import decode_detections
+from ..ops.nms import NMSResult, postprocess_detections
+from .state import TrainState, TrainConfig
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    loss_cfg: LossConfig,
+    aug_cfg: AugmentConfig = AugmentConfig(),
+    donate: bool = True,
+) -> Callable:
+    model = MultitaskModel(model_cfg)
+
+    def train_step(
+        state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        batch = augment_batch(batch, rng, aug_cfg)
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                mode="train",
+                mutable=["batch_stats"],
+            )
+            lo = multitask_loss(out, batch, loss_cfg, train=True)
+            return lo.total, (lo, updates["batch_stats"])
+
+        (total, (lo, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        metrics = {
+            "loss_total": total,
+            **{f"loss_{k}": v for k, v in lo.components.items()},
+            "num_pos": lo.num_pos,
+            "avg_iou": lo.avg_iou,
+            "grad_norm": optax_global_norm(grads),
+        }
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def make_eval_step(
+    model_cfg: ModelConfig,
+    loss_cfg: LossConfig,
+    train_cfg: TrainConfig,
+) -> Callable:
+    """Validation step: losses from train-mode forward (reference quirk),
+    detections decoded from the raw maps -> batched NMS; seg probabilities.
+
+    Returns (metrics, aux) with aux carrying everything host-side metric
+    accumulators need: NMS result, seg probs, cls logits, CM match pairs.
+    """
+    model = MultitaskModel(model_cfg)
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = dict(batch)
+        batch["image"] = normalize(batch["image"])
+        out, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=False,
+            mode="train",  # deliberate: reference validates via train-mode fwd
+            mutable=["batch_stats"],
+        )
+        lo = multitask_loss(out, batch, loss_cfg, train=False)
+
+        det_preds = decode_detections(
+            out["det_feats"], model_cfg.nc_det, model_cfg.img_size, model_cfg.reg_max
+        )
+        nms: NMSResult = postprocess_detections(
+            det_preds,
+            model_cfg.img_size,
+            iou_thresh=train_cfg.eval_nms_iou,
+            conf_thresh=train_cfg.eval_conf_thresh,
+            top_k=train_cfg.eval_top_k,
+        )
+        metrics = {
+            "loss_total": lo.total,
+            **{f"loss_{k}": v for k, v in lo.components.items()},
+        }
+        aux = {
+            "nms_boxes": nms.boxes,
+            "nms_scores": nms.scores,
+            "nms_labels": nms.labels,
+            "nms_valid": nms.valid,
+            "seg_prob": jax.nn.sigmoid(out["seg_logits"]),
+            "cls_logits": out["cls_logits"],
+            "cm_mask": lo.matched_mask,
+            "cm_pred": lo.matched_pred_cls,
+            "cm_gt": lo.matched_gt_cls,
+        }
+        return metrics, aux
+
+    return jax.jit(eval_step)

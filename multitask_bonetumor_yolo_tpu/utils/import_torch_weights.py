@@ -1,0 +1,289 @@
+"""Offline torch -> Flax weight conversion.
+
+Parity targets:
+  * timm ConvNeXt-Tiny backbone import — the reference downloads
+    ``convnext_tiny.in12k_ft_in1k`` at model build
+    (/root/reference/src/main_model.py:21-26). Here the conversion is a
+    one-time OFFLINE step from a local torch state_dict (``torch.save(...)``
+    /.safetensors) into our ConvNeXtFeatures param tree; training never
+    touches the network.
+  * YOLO head warm-start — ``load_pretrained_heads``
+    (main_model.py:399-603) copies name+shape-matching tensors from a YOLO
+    checkpoint's last Detect/Segment modules into the model heads. Here
+    ``import_yolo_head_tensors`` does the same mapping into DetectTowers /
+    SegmentHead params, returning per-submodule copy counts exactly like the
+    reference's transfer report.
+
+Layout transforms:
+  conv      torch [O, I, kh, kw]      -> flax HWIO [kh, kw, I, O]
+  depthwise torch [C, 1, kh, kw]      -> flax [kh, kw, 1, C]
+  deconv    torch [I, O, kh, kw]      -> flax ConvTranspose [kh, kw, I, O]
+  linear    torch [O, I]              -> flax [I, O]
+  batchnorm weight/bias/running_mean/running_var -> scale/bias/mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def _conv(w: Array) -> Array:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _dwconv(w: Array) -> Array:
+    # torch depthwise [C,1,kh,kw] -> flax (kh,kw,1,C)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _deconv(w: Array) -> Array:
+    # torch ConvTranspose2d [I,O,kh,kw] -> flax [kh,kw,I,O]
+    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+
+
+def _linear(w: Array) -> Array:
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    """Load a .pt/.pth/.safetensors state_dict into numpy arrays."""
+    if str(path).endswith(".safetensors"):
+        from safetensors.numpy import load_file  # pragma: no cover
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if "state_dict" in obj and isinstance(obj["state_dict"], dict):
+        obj = obj["state_dict"]
+    return {k: v.detach().numpy() for k, v in obj.items() if hasattr(v, "numpy")}
+
+
+# ---------------------------------------------------------------- ConvNeXt
+def convert_convnext_tiny(
+    sd: StateDict, depths=(3, 3, 9, 3)
+) -> Dict[str, dict]:
+    """timm convnext_tiny state_dict -> params for models.backbone.ConvNeXtFeatures.
+
+    Accepts both timm's classifier checkpoints (keys like
+    ``stem.0.weight``, ``stages.0.blocks.0.conv_dw.weight``) and
+    features_only prefixes (leading ``body.`` stripped)."""
+    sd = {k.removeprefix("body.").removeprefix("model."): np.asarray(v)
+          for k, v in sd.items()}
+
+    def ln(prefix: str) -> dict:
+        return {
+            "LayerNorm_0": {
+                "scale": sd[f"{prefix}.weight"],
+                "bias": sd[f"{prefix}.bias"],
+            }
+        }
+
+    params: Dict[str, dict] = {
+        "stem_conv": {"kernel": _conv(sd["stem.0.weight"]),
+                      "bias": sd["stem.0.bias"]},
+        "stem_norm": ln("stem.1"),
+    }
+    for i, depth in enumerate(depths):
+        if i > 0:
+            params[f"downsample_norm{i}"] = ln(f"stages.{i}.downsample.0")
+            params[f"downsample_conv{i}"] = {
+                "kernel": _conv(sd[f"stages.{i}.downsample.1.weight"]),
+                "bias": sd[f"stages.{i}.downsample.1.bias"],
+            }
+        for j in range(depth):
+            p = f"stages.{i}.blocks.{j}"
+            params[f"stage{i}_block{j}"] = {
+                "Conv_0": {
+                    "kernel": _dwconv(sd[f"{p}.conv_dw.weight"]),
+                    "bias": sd[f"{p}.conv_dw.bias"],
+                },
+                "LayerNorm_0": ln(f"{p}.norm"),
+                "Dense_0": {
+                    "kernel": _linear(sd[f"{p}.mlp.fc1.weight"]),
+                    "bias": sd[f"{p}.mlp.fc1.bias"],
+                },
+                "Dense_1": {
+                    "kernel": _linear(sd[f"{p}.mlp.fc2.weight"]),
+                    "bias": sd[f"{p}.mlp.fc2.bias"],
+                },
+                "gamma": sd[f"{p}.gamma"],
+            }
+    return params
+
+
+# ---------------------------------------------------------------- YOLO heads
+def _convbn_params(sd: StateDict, src: str) -> Tuple[dict, dict]:
+    """ultralytics Conv (conv+bn) -> (params, batch_stats) for our ConvBN."""
+    params = {
+        "Conv_0": {"kernel": _conv(sd[f"{src}.conv.weight"])},
+        "BatchNorm_0": {
+            "scale": sd[f"{src}.bn.weight"],
+            "bias": sd[f"{src}.bn.bias"],
+        },
+    }
+    stats = {
+        "BatchNorm_0": {
+            "mean": sd[f"{src}.bn.running_mean"],
+            "var": sd[f"{src}.bn.running_var"],
+        }
+    }
+    return params, stats
+
+
+def _final_conv_params(sd: StateDict, src: str) -> dict:
+    return {"kernel": _conv(sd[f"{src}.weight"]), "bias": sd[f"{src}.bias"]}
+
+
+def import_yolo_head_tensors(
+    sd: StateDict,
+    head_params: dict,
+    head_stats: dict,
+    kind: str = "detect",
+    src_prefix: str = "",
+    strict_shapes: bool = True,
+) -> Tuple[int, int]:
+    """Copy shape-matching tensors from a YOLO Detect/Segment state_dict into
+    ``head_params``/``head_stats`` IN PLACE (numpy trees).
+
+    ``sd`` keys are relative to the head module, e.g. ``cv2.0.0.conv.weight``
+    (strip the ``model.22.`` prefix first or pass it via ``src_prefix``).
+    Returns (copied, attempted) tensor counts, reference-report style."""
+    copied = attempted = 0
+
+    def put(dst_tree: dict, dst_path: Tuple[str, ...], value: Array):
+        nonlocal copied, attempted
+        attempted += 1
+        node = dst_tree
+        for k in dst_path[:-1]:
+            if k not in node:
+                return
+            node = node[k]
+        leaf = dst_path[-1]
+        if leaf not in node:
+            return
+        if strict_shapes and tuple(node[leaf].shape) != tuple(value.shape):
+            print(f"    shape mismatch at {'/'.join(dst_path)}: "
+                  f"dst {node[leaf].shape} src {value.shape}")
+            return
+        node[leaf] = np.asarray(value, dtype=np.asarray(node[leaf]).dtype)
+        copied += 1
+
+    sd = {k.removeprefix(src_prefix): np.asarray(v) for k, v in sd.items()}
+
+    towers = head_params.get("towers", head_params)
+    towers_stats = head_stats.get("towers", head_stats)
+    for branch in ("cv2", "cv3"):
+        for i in range(3):
+            for j in range(2):
+                src = f"{branch}.{i}.{j}"
+                if f"{src}.conv.weight" not in sd:
+                    continue
+                p, st = _convbn_params(sd, src)
+                name = f"{branch}_{i}_{j}"
+                put(towers, (name, "ConvBN_0", "Conv_0", "kernel"),
+                    p["Conv_0"]["kernel"])
+                put(towers, (name, "ConvBN_0", "BatchNorm_0", "scale"),
+                    p["BatchNorm_0"]["scale"])
+                put(towers, (name, "ConvBN_0", "BatchNorm_0", "bias"),
+                    p["BatchNorm_0"]["bias"])
+                put(towers_stats, (name, "ConvBN_0", "BatchNorm_0", "mean"),
+                    st["BatchNorm_0"]["mean"])
+                put(towers_stats, (name, "ConvBN_0", "BatchNorm_0", "var"),
+                    st["BatchNorm_0"]["var"])
+            src = f"{branch}.{i}.2"
+            if f"{src}.weight" in sd:
+                fc = _final_conv_params(sd, src)
+                put(towers, (f"{branch}_{i}_2", "kernel"), fc["kernel"])
+                put(towers, (f"{branch}_{i}_2", "bias"), fc["bias"])
+
+    if kind == "segment":
+        for i in range(3):
+            for j in range(2):
+                src = f"cv4.{i}.{j}"
+                if f"{src}.conv.weight" not in sd:
+                    continue
+                p, st = _convbn_params(sd, src)
+                name = f"cv4_{i}_{j}"
+                put(head_params, (name, "ConvBN_0", "Conv_0", "kernel"),
+                    p["Conv_0"]["kernel"])
+                put(head_params, (name, "ConvBN_0", "BatchNorm_0", "scale"),
+                    p["BatchNorm_0"]["scale"])
+                put(head_params, (name, "ConvBN_0", "BatchNorm_0", "bias"),
+                    p["BatchNorm_0"]["bias"])
+                put(head_stats, (name, "ConvBN_0", "BatchNorm_0", "mean"),
+                    st["BatchNorm_0"]["mean"])
+                put(head_stats, (name, "ConvBN_0", "BatchNorm_0", "var"),
+                    st["BatchNorm_0"]["var"])
+            src = f"cv4.{i}.2"
+            if f"{src}.weight" in sd:
+                fc = _final_conv_params(sd, src)
+                put(head_params, (f"cv4_{i}_2", "kernel"), fc["kernel"])
+                put(head_params, (f"cv4_{i}_2", "bias"), fc["bias"])
+        # Proto: cv1 / upsample (deconv, bias) / cv2 / cv3, all under proto.*
+        for cv in ("cv1", "cv2", "cv3"):
+            src = f"proto.{cv}"
+            if f"{src}.conv.weight" not in sd:
+                continue
+            p, st = _convbn_params(sd, src)
+            put(head_params, ("proto", cv, "ConvBN_0", "Conv_0", "kernel"),
+                p["Conv_0"]["kernel"])
+            put(head_params, ("proto", cv, "ConvBN_0", "BatchNorm_0", "scale"),
+                p["BatchNorm_0"]["scale"])
+            put(head_params, ("proto", cv, "ConvBN_0", "BatchNorm_0", "bias"),
+                p["BatchNorm_0"]["bias"])
+            put(head_stats, ("proto", cv, "ConvBN_0", "BatchNorm_0", "mean"),
+                st["BatchNorm_0"]["mean"])
+            put(head_stats, ("proto", cv, "ConvBN_0", "BatchNorm_0", "var"),
+                st["BatchNorm_0"]["var"])
+        if "proto.upsample.weight" in sd:
+            put(head_params, ("proto", "upsample", "kernel"),
+                _deconv(sd["proto.upsample.weight"]))
+            put(head_params, ("proto", "upsample", "bias"),
+                sd["proto.upsample.bias"])
+
+    return copied, attempted
+
+
+def load_pretrained(
+    params: dict,
+    batch_stats: dict,
+    convnext_path: str | None = None,
+    detect_sd_path: str | None = None,
+    segment_sd_path: str | None = None,
+) -> Tuple[dict, dict]:
+    """Reference load_pretrained_heads-style orchestration over numpy trees.
+
+    Returns updated (params, batch_stats); prints a per-head transfer report
+    (main_model.py:497-602)."""
+    import jax
+
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+
+    if convnext_path:
+        sd = load_torch_state_dict(convnext_path)
+        trunk = convert_convnext_tiny(sd)
+        params["backbone"]["trunk"] = trunk
+        print(f"ConvNeXt backbone      : imported from {convnext_path}")
+    if detect_sd_path and "detect" in params:
+        sd = load_torch_state_dict(detect_sd_path)
+        c, t = import_yolo_head_tensors(
+            sd, params["detect"], batch_stats.get("detect", {}), "detect"
+        )
+        print(f"Detect head          : {c}/{t} tensors copied from {detect_sd_path}")
+    if segment_sd_path:
+        sd = load_torch_state_dict(segment_sd_path)
+        c, t = import_yolo_head_tensors(
+            sd, params["segment"], batch_stats.get("segment", {}), "segment"
+        )
+        print(f"Segment head         : {c}/{t} tensors copied from {segment_sd_path}")
+    return params, batch_stats

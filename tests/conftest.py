@@ -6,7 +6,11 @@ pytest before any test module imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the session env pins JAX_PLATFORMS to the TPU tunnel ('axon') and
+# a sitecustomize imports jax before conftest runs, so env vars alone are too
+# late — use jax.config.update, which works as long as no backend has
+# initialised yet. Tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # persistent compilation cache: repeated pytest runs skip XLA recompiles
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
