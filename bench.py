@@ -62,9 +62,13 @@ def bench_multitask_inference(batch: int = 16, img: int = 640, iters: int = 20):
 
     x = jnp.asarray(np.random.rand(batch, img, img, 3), jnp.float32)
     _block(infer(variables["params"], variables["batch_stats"], x))  # compile
+    # chain each iteration's input on the previous output — defeats any
+    # dispatch coalescing/overlap so wall time == true serialized execution
     t0 = time.perf_counter()
+    carry = jnp.zeros((), jnp.float32)
     for _ in range(iters):
-        r = infer(variables["params"], variables["batch_stats"], x)
+        r = infer(variables["params"], variables["batch_stats"], x + carry)
+        carry = r[1][0, 0] * 0.0
     _block(r)
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt * 1000.0
@@ -135,8 +139,11 @@ def bench_preprocess(batch: int = 16, img: int = 640, iters: int = 50):
     key = jax.random.PRNGKey(0)
     _block(fn(batch_d, key)["image"])
     t0 = time.perf_counter()
+    carry = jnp.zeros((), jnp.uint8)
     for _ in range(iters):
+        batch_d["image"] = batch_d["image"] + carry  # serialize iterations
         out = fn(batch_d, key)
+        carry = (out["image"][0, 0, 0, 0] * 0.0).astype(jnp.uint8)
     _block(out["image"])
     dt = (time.perf_counter() - t0) / iters
     return batch / dt, dt * 1000.0

@@ -101,20 +101,34 @@ def build_type_map(meta_path: str) -> Dict[str, str]:
     }
 
 
-def process_one(json_path: Path, out_det: Path, out_mask: Path, global_cls: str) -> int:
-    """One labelme file -> det txt + mask png. Returns the image class id.
+def process_one(
+    json_path: Path,
+    out_det: Path,
+    out_mask: Path,
+    global_cls: str,
+    out_seg: Path | None = None,
+) -> int:
+    """One labelme file -> det txt + mask png (+ optional YOLO-seg polygon
+    txt). Returns the image class id.
     (reference label_parsing.py:39-66; every shape takes the image-level
     class, polygons rasterise into one union mask, rectangles become YOLO
-    rows)."""
+    rows; the -v1 parser variant additionally emits YOLO-seg polygon rows,
+    label_parsing-v1.py:46-57 — enabled here via ``out_seg``)."""
     js = json.loads(json_path.read_text())
     h, w = js["imageHeight"], js["imageWidth"]
     full_mask = np.zeros((h, w), np.uint8)
     det_lines: List[str] = []
+    seg_lines: List[str] = []
 
     for sh in js.get("shapes", []):
         lbl = global_cls
         if sh["shape_type"] == "polygon" and lbl in CLS2ID:
             full_mask = np.maximum(full_mask, polygon_to_mask(sh["points"], h, w))
+            if out_seg is not None:
+                coords = " ".join(
+                    f"{x / w:.6f} {y / h:.6f}" for x, y in sh["points"]
+                )
+                seg_lines.append(f"{CLS2ID[lbl]} {coords}")
         elif sh["shape_type"] == "rectangle" and lbl in BOX2ID:
             (x1, y1), (x2, y2) = sh["points"]
             xc, yc = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
@@ -122,6 +136,8 @@ def process_one(json_path: Path, out_det: Path, out_mask: Path, global_cls: str)
             det_lines.append(f"{BOX2ID[lbl]} {xc:.6f} {yc:.6f} {bw:.6f} {bh:.6f}")
 
     (out_det / f"{json_path.stem}.txt").write_text("\n".join(det_lines))
+    if out_seg is not None:
+        (out_seg / f"{json_path.stem}.txt").write_text("\n".join(seg_lines))
     _write_png(out_mask / f"{json_path.stem}.png", full_mask * MASK_FOREGROUND)
     return CLS2ID[global_cls]
 
@@ -137,10 +153,16 @@ def _write_png(path: Path, arr: np.ndarray) -> None:
         Image.fromarray(arr).save(path)
 
 
-def convert(src: str, meta: str, dst: str, img_ext: str = ".jpeg") -> int:
+def convert(
+    src: str, meta: str, dst: str, img_ext: str = ".jpeg",
+    emit_seg_polygons: bool = False,
+) -> int:
     """Returns the number of converted annotations."""
     src_p, dst_p = Path(src), Path(dst)
-    for d in ("labels_det", "masks", "images"):
+    dirs = ["labels_det", "masks", "images"]
+    if emit_seg_polygons:
+        dirs.append("labels_seg")
+    for d in dirs:
         (dst_p / d).mkdir(parents=True, exist_ok=True)
 
     type_map = build_type_map(meta)
@@ -153,7 +175,8 @@ def convert(src: str, meta: str, dst: str, img_ext: str = ".jpeg") -> int:
             skipped += 1
             continue
         class_id = process_one(
-            js, dst_p / "labels_det", dst_p / "masks", cls_name
+            js, dst_p / "labels_det", dst_p / "masks", cls_name,
+            out_seg=(dst_p / "labels_seg") if emit_seg_polygons else None,
         )
         img_src = src_p / "images" / f"{js.stem}{img_ext}"
         img_dst = dst_p / "images" / img_src.name
@@ -181,8 +204,12 @@ def main(argv=None):
     ap.add_argument("--meta", required=True, help="dataset metadata (.csv or .xlsx)")
     ap.add_argument("--dst", default="btxrd_ready", help="output dir")
     ap.add_argument("--img-ext", default=".jpeg", help="image extension")
+    ap.add_argument(
+        "--emit-seg-polygons", action="store_true",
+        help="also write YOLO-seg polygon txt rows (label_parsing-v1 variant)",
+    )
     args = ap.parse_args(argv)
-    convert(args.src, args.meta, args.dst, args.img_ext)
+    convert(args.src, args.meta, args.dst, args.img_ext, args.emit_seg_polygons)
 
 
 if __name__ == "__main__":

@@ -192,6 +192,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self, max_epochs: Optional[int] = None) -> TrainState:
+        """Run the training loop; on any crash, checkpoint the live state
+        before re-raising (upgrades the reference's print-and-finish trap at
+        running_main_v3.py:831-839 per SURVEY.md §5 failure-detection row)."""
+        try:
+            return self._fit(max_epochs)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            step = int(self.state.step)
+            if step > 0:
+                self.ckpt.save(self.state, step, metric=None)
+                print(f"[trainer] crash — emergency checkpoint at step {step}")
+            raise
+
+    def _fit(self, max_epochs: Optional[int] = None) -> TrainState:
         cfg = self.cfg
         epochs = max_epochs or self.train_cfg.max_epochs
         best_metric, best_epoch = -float("inf"), -1

@@ -178,3 +178,15 @@ def test_augment_batch_full_pipeline(synth_root):
     assert bool(out["box_valid"].any())
     v = np.asarray(out["boxes"])[np.asarray(out["box_valid"])]
     assert (v[:, 1:] >= 0).all() and (v[:, 1:] <= 1).all()
+
+
+def test_converter_seg_polygons(tmp_path):
+    raw = make_synthetic_raw(str(tmp_path / "raw2"), n=3, seed=5)
+    convert(str(raw), str(raw / "dataset.csv"), str(tmp_path / "ready2"),
+            emit_seg_polygons=True)
+    seg = sorted((tmp_path / "ready2" / "labels_seg").glob("*.txt"))
+    assert len(seg) == 3
+    line = seg[0].read_text().splitlines()[0].split()
+    # class id + 4 polygon points (x, y) normalised
+    assert len(line) == 1 + 8
+    assert all(0.0 <= float(v) <= 1.0 for v in line[1:])
