@@ -57,6 +57,7 @@ class ModelConfig:
     reg_max: int = 16
     single_head: bool = False  # False = v1 (Detect+Segment), True = v2
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
+    pallas: str = "auto"  # ConvNeXt fused-block kernel: "auto"|"on"|"off"
 
     @property
     def compute_dtype(self):
@@ -76,7 +77,9 @@ class MultitaskModel(nn.Module):
         dt = cfg.compute_dtype
         x = x.astype(dt)
 
-        c3, c4, c5 = ConvNeXtTiny(dtype=dt, name="backbone")(x, train)
+        c3, c4, c5 = ConvNeXtTiny(dtype=dt, pallas=cfg.pallas, name="backbone")(
+            x, train
+        )
         p3, p4, p5 = BiFPN(
             cfg.bifpn_feature_size, cfg.bifpn_num_layers, dtype=dt, name="neck"
         )([c3, c4, c5], train)

@@ -102,19 +102,14 @@ def convert_convnext_tiny(
         for j in range(depth):
             p = f"stages.{i}.blocks.{j}"
             params[f"stage{i}_block{j}"] = {
-                "Conv_0": {
-                    "kernel": _dwconv(sd[f"{p}.conv_dw.weight"]),
-                    "bias": sd[f"{p}.conv_dw.bias"],
-                },
-                "LayerNorm_0": ln(f"{p}.norm"),
-                "Dense_0": {
-                    "kernel": _linear(sd[f"{p}.mlp.fc1.weight"]),
-                    "bias": sd[f"{p}.mlp.fc1.bias"],
-                },
-                "Dense_1": {
-                    "kernel": _linear(sd[f"{p}.mlp.fc2.weight"]),
-                    "bias": sd[f"{p}.mlp.fc2.bias"],
-                },
+                "dw_kernel": _dwconv(sd[f"{p}.conv_dw.weight"]),
+                "dw_bias": sd[f"{p}.conv_dw.bias"],
+                "ln_scale": sd[f"{p}.norm.weight"],
+                "ln_bias": sd[f"{p}.norm.bias"],
+                "w1": _linear(sd[f"{p}.mlp.fc1.weight"]),
+                "b1": sd[f"{p}.mlp.fc1.bias"],
+                "w2": _linear(sd[f"{p}.mlp.fc2.weight"]),
+                "b2": sd[f"{p}.mlp.fc2.bias"],
                 "gamma": sd[f"{p}.gamma"],
             }
     return params

@@ -1,0 +1,81 @@
+"""Pallas fused ConvNeXt block vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multitask_bonetumor_yolo_tpu.ops.pallas.convnext_block import (
+    convnext_block,
+    convnext_block_ref,
+)
+
+
+def make_args(rng, b=2, h=16, w=16, c=32, dtype=jnp.float32):
+    x = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32), dtype)
+    f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.1)
+    return (
+        x,
+        f(7, 7, 1, c),
+        f(c),
+        f(c) + 1.0,
+        f(c),
+        f(c, 4 * c),
+        f(4 * c),
+        f(4 * c, c),
+        f(c),
+        f(c) * 0.5,
+    )
+
+
+def test_kernel_matches_reference(rng):
+    args = make_args(rng)
+    want = convnext_block_ref(*args)
+    got = convnext_block(*args, 1e-6, True)  # interpret mode
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_kernel_matches_reference_bf16(rng):
+    args = make_args(rng, dtype=jnp.bfloat16)
+    want = np.asarray(convnext_block_ref(*args)).astype(np.float32)
+    got = np.asarray(convnext_block(*args, 1e-6, True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_kernel_nonsquare_and_odd_rows(rng):
+    # h=12, w=20 exercises the row-chunk divisor logic
+    args = make_args(rng, b=1, h=12, w=20, c=16)
+    want = convnext_block_ref(*args)
+    got = convnext_block(*args, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_kernel_gradients_match_reference(rng):
+    args = make_args(rng, b=1, h=8, w=8, c=16)
+
+    def loss_pallas(*a):
+        return jnp.sum(convnext_block(*a, 1e-6, True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(convnext_block_ref(*a) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=tuple(range(10)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3,
+                                   rtol=2e-3)
+
+
+def test_backbone_pallas_flag_structure(rng):
+    """pallas='off' and 'on'(interpreted) share one param tree."""
+    from multitask_bonetumor_yolo_tpu.models.backbone import ConvNeXtBlock
+
+    x = jnp.asarray(rng.randn(1, 8, 8, 16).astype(np.float32))
+    off = ConvNeXtBlock(16, pallas="off")
+    vars_ = off.init(jax.random.PRNGKey(0), x)
+    assert set(vars_["params"].keys()) == {
+        "dw_kernel", "dw_bias", "ln_scale", "ln_bias",
+        "w1", "b1", "w2", "b2", "gamma",
+    }
+    out_off = off.apply(vars_, x)
+    assert out_off.shape == x.shape
