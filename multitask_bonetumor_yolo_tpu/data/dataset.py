@@ -204,6 +204,42 @@ class BTXRD:
         return hist
 
 
+class Prefetcher:
+    """Background-thread batch prefetch — the TPU-side replacement for the
+    reference's 2 DataLoader worker processes (running_main_v3.py:755-766):
+    cv2 decode/letterbox overlaps with device compute, keeping the train
+    step fed."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
 class BTXRDLoader:
     """Minimal fixed-shape batch iterator (shuffle + drop_last for train).
 

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..data import BTXRD, BTXRDLoader, DataConfig
+from ..data.dataset import Prefetcher
 from ..data.preprocess import AugmentConfig
 from ..losses import LossConfig
 from ..metrics import (
@@ -218,7 +219,7 @@ class Trainer:
                 self.train_ds, cfg.data.batch_size, shuffle=True,
                 drop_last=True, seed=self.train_cfg.seed + epoch,
             )
-            for batch in loader:
+            for batch in Prefetcher(loader):
                 self.rng, step_rng = jax.random.split(self.rng)
                 sharded = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(

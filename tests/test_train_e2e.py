@@ -34,8 +34,9 @@ IMG = 128
 
 @pytest.fixture(scope="module")
 def synth_root(tmp_path_factory):
+    # 48 items -> val split ~10, enough for one full batch of 8
     return make_synthetic_btxrd(
-        str(tmp_path_factory.mktemp("btxrd_e2e")), n=16, seed=7,
+        str(tmp_path_factory.mktemp("btxrd_e2e")), n=48, seed=7,
         min_size=160, max_size=320,
     )
 
@@ -74,8 +75,7 @@ def test_trainer_fit_and_validate(cfg, tmp_path):
     cfg = dataclasses.replace(cfg, run_dir=str(tmp_path / "run"), log_every=1)
     trainer = Trainer(cfg)
     state = trainer.fit(max_epochs=2)
-    assert int(state.step) == 2 * (16 // 8 if len(trainer.train_ds) >= 8 else 1) \
-        or int(state.step) > 0
+    assert int(state.step) == 2 * trainer.train_cfg.steps_per_epoch
     # metrics jsonl exists and has val epoch rows
     lines = (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
     assert any('"val_epoch/map_iou50_map"' in l for l in lines)
