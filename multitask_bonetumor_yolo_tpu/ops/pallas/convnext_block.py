@@ -105,7 +105,6 @@ def _kernel(
     g_ref,  # [1, C]
     out_ref,  # [1, RC, W, C] VMEM block
     slab,  # scratch VMEM [RC+6, W+6, C] (input window, x dtype)
-    acc,  # scratch VMEM [RC, W, C] fp32 (dwconv accum / LN result)
     sem,  # DMA semaphore
     *,
     rc: int,
@@ -126,12 +125,13 @@ def _kernel(
     dma.wait()
 
     # ---- depthwise 7x7 as 49 shifted FMAs (VPU) ----
-    acc[:] = jnp.zeros_like(acc)
+    # accumulate as a value: Mosaic keeps the running sum in vregs/VMEM
+    # without 49 round-trips through the scratch ref
+    y = dwb_ref[0, :] * jnp.ones((rc, w, 1), jnp.float32)
     for dy in range(7):
         for dx in range(7):
             tap = slab[dy : dy + rc, dx : dx + w, :].astype(jnp.float32)
-            acc[:] += tap * dw_ref[dy, dx, :]
-    y = acc[:] + dwb_ref[0, :]
+            y = y + tap * dw_ref[dy, dx, :]
 
     # ---- LayerNorm over the REAL channels (fp32) ----
     # channels are zero-padded to cpad for DMA alignment; pad taps/bias are
@@ -198,7 +198,7 @@ def _forward(
     eps: float, interpret: bool,
 ):
     b, h, w, c = x.shape
-    rc = _pick_row_chunk(h, w, c)
+    rc = _pick_row_chunk(h, w, c, dtype_bytes=x.dtype.itemsize)
     # Mosaic DMA slices must be tile-aligned: sublane (W) to 8 and lane (C)
     # to 128. Pad the logical width/channels; pad lanes carry zeros and the
     # kernel's masked LayerNorm keeps statistics exact over the real C.
@@ -248,7 +248,6 @@ def _forward(
         ),
         scratch_shapes=[
             pltpu.VMEM((rc + 6, wpad, cpad), x.dtype),
-            pltpu.VMEM((rc, w, cpad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
