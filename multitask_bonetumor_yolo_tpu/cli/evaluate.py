@@ -15,7 +15,7 @@ det mAP50 & mAP50-95 + det CM.
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 import json
 
 import jax.numpy as jnp

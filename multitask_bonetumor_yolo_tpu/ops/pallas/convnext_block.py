@@ -25,7 +25,7 @@ so training gets the fused forward with exact XLA gradients.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

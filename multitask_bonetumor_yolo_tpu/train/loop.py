@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, Iterable, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..models import MultitaskModel, ModelConfig
 
