@@ -54,7 +54,7 @@ def evaluate(args) -> dict:
         model=model_cfg, data=data_cfg, loss=loss_cfg, train=train_cfg,
         run_dir=args.run_dir,
     )
-    vm = ValidationMetrics(exp)
+    vm = ValidationMetrics(exp, class_metrics=args.class_metrics)
     logger = RunLogger(args.run_dir, args.wandb_project)
     first = True
     for batch in loader:
@@ -95,6 +95,8 @@ def make_parser():
     ap.add_argument("--map-thresholds", type=int, nargs="+", default=[1, 10, 100],
                     help="mAP max-detection thresholds")
     ap.add_argument("--log-examples", action="store_true", dest="log_examples")
+    ap.add_argument("--class-metrics", action="store_true",
+                    help="report per-class AP (reference evaluate_model.py behaviour)")
     ap.add_argument("--wandb-project", default=None)
     return ap
 

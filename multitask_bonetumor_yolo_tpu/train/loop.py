@@ -95,7 +95,7 @@ def nms_to_map_preds(aux: Dict[str, np.ndarray]):
 class ValidationMetrics:
     """Bundles every accumulator the reference's validation epoch keeps."""
 
-    def __init__(self, cfg: ExperimentConfig):
+    def __init__(self, cfg: ExperimentConfig, class_metrics: bool = False):
         self.cfg = cfg
         tc = cfg.train
         self.seg = BinarySegMetrics()
@@ -104,9 +104,11 @@ class ValidationMetrics:
         self.map50 = MeanAveragePrecision(
             iou_thresholds=[0.5],
             max_detection_thresholds=[1, 10, tc.eval_top_k],
+            class_metrics=class_metrics,
         )
         self.map50_95 = MeanAveragePrecision(
             max_detection_thresholds=[1, 10, tc.eval_top_k],
+            class_metrics=class_metrics,
         )
         self.seg_map = MeanAveragePrecision(iou_type="segm")
         self.losses: Dict[str, list] = {}
@@ -162,6 +164,10 @@ class ValidationMetrics:
             {f"map_iou50_{k}": v for k, v in m50.items()
              if isinstance(v, (int, float))}
         )
+        if "map_per_class" in m50:
+            for i, ap in enumerate(np.asarray(m50["map_per_class"]).ravel()):
+                cls_id = int(np.asarray(m50["classes"]).ravel()[i])
+                out[f"map_iou50_class_detC{cls_id}"] = float(ap)
         if full_map:
             m = self.map50_95.compute()
             out.update(
