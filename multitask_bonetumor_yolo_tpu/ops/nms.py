@@ -3,23 +3,34 @@
 Replaces the reference's per-image Python loop over ``torchvision.ops.nms``
 (/root/reference/src/running_main_v3.py:535-549: conf > 0.05 filter ->
 class-agnostic NMS at IoU 0.6 -> top-100). Everything here is static-shape,
-jit-friendly and vmapped over the batch:
+jit-friendly and vmapped over the batch.
 
+Exactness: by default every anchor that passes the confidence filter
+participates (``pre_nms_top_k=None``) — identical keep-set to torchvision's
+unbounded greedy NMS. A window (``pre_nms_top_k=K``) may be set for speed;
+because a lower-ranked box can never suppress a higher-ranked one, a window
+only changes the result when more than K candidates pass conf AND fewer than
+``top_k`` survive inside the window.
+
+Algorithm (TPU-friendly blocked greedy, not the O(A) serial scan):
   1. invalidate scores <= conf_thresh,
-  2. take the ``pre_nms_top_k`` highest-scoring candidates (lax.top_k is
-     descending with ties broken by lower index — the same ordering a stable
-     descending sort gives torchvision),
-  3. sequential greedy suppression over the candidate IoU matrix
-     (lax.fori_loop — identical keep-set to the CUDA kernel),
+  2. sort candidates by score descending (lax.top_k: ties broken by lower
+     index, the same ordering a stable descending sort gives torchvision),
+  3. process candidates in score-ordered blocks of ``block_size``; within a
+     block, resolve the suppression chain by fixed-point iteration
+     (keep_{n+1}[i] = valid[i] & !any_{j<i}(keep_n[j] & iou>thr) — any fixed
+     point of this map IS the greedy solution, and it is reached in at most
+     chain-depth <= block_size steps); then suppress all later candidates
+     against the block's kept boxes in one vectorized pass,
   4. re-rank survivors and emit exactly ``top_k`` slots + a validity mask.
 
-Padded slots carry score 0, label -1, box (0,0,0,0).
+Padded slots carry score 0, label -1, box (0,0,0,0), index -1.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +44,56 @@ class NMSResult(NamedTuple):
     scores: jnp.ndarray  # [B, top_k]
     labels: jnp.ndarray  # [B, top_k] int32, -1 for padding
     valid: jnp.ndarray  # [B, top_k] bool
+    indices: jnp.ndarray  # [B, top_k] int32 anchor index into A, -1 for padding
+
+
+def _suppression_loop(
+    boxes: jnp.ndarray,  # [K, 4] score-descending candidates (xyxy)
+    valid: jnp.ndarray,  # [K] bool
+    iou_thresh: float,
+    block_size: int,
+) -> jnp.ndarray:
+    """Exact greedy keep-mask over score-sorted candidates, block-parallel."""
+    k = boxes.shape[0]
+    t = min(block_size, k)
+    nblk = -(-k // t)
+    kpad = nblk * t
+    boxes = jnp.pad(boxes, ((0, kpad - k), (0, 0)))
+    keep = jnp.pad(valid, (0, kpad - k))
+    pos = jnp.arange(kpad)
+
+    def block_body(b, keep):
+        blk_boxes = lax.dynamic_slice_in_dim(boxes, b * t, t)
+        blk_keep = lax.dynamic_slice_in_dim(keep, b * t, t)
+
+        # -- within-block: fixed-point of the triangular suppression map --
+        iou_bb = box_iou_matrix(blk_boxes, blk_boxes)
+        tri = (iou_bb > iou_thresh) & (
+            jnp.arange(t)[:, None] < jnp.arange(t)[None, :]
+        )  # tri[j, i]: higher-ranked j can suppress i
+
+        def fp_cond(c):
+            return c[1]
+
+        def fp_body(c):
+            cur, _ = c
+            new = blk_keep & ~jnp.any(tri & cur[:, None], axis=0)
+            return new, jnp.any(new != cur)
+
+        blk_final, _ = lax.while_loop(
+            fp_cond, fp_body, (blk_keep, jnp.asarray(True))
+        )
+        keep = lax.dynamic_update_slice_in_dim(keep, blk_final, b * t, axis=0)
+
+        # -- suppress all later candidates against this block's kept boxes --
+        iou_ba = box_iou_matrix(blk_boxes, boxes)  # [t, kpad]
+        sup = jnp.any(
+            (iou_ba > iou_thresh) & blk_final[:, None], axis=0
+        ) & (pos >= (b + 1) * t)
+        return keep & ~sup
+
+    keep = lax.fori_loop(0, nblk, block_body, keep)
+    return keep[:k]
 
 
 def _nms_single(
@@ -42,10 +103,11 @@ def _nms_single(
     iou_thresh: float,
     conf_thresh: float,
     top_k: int,
-    pre_nms_top_k: int,
+    pre_nms_top_k: Optional[int],
+    block_size: int,
 ):
     a = boxes.shape[0]
-    k = min(pre_nms_top_k, a)
+    k = a if pre_nms_top_k is None else min(pre_nms_top_k, a)
 
     valid = scores > conf_thresh
     masked_scores = jnp.where(valid, scores, -1.0)
@@ -54,15 +116,7 @@ def _nms_single(
     cand_labels = labels[cand_idx]
     cand_valid = cand_scores > conf_thresh
 
-    iou = box_iou_matrix(cand_boxes, cand_boxes)  # [k, k]
-    order = jnp.arange(k)
-
-    def body(i, keep):
-        # if candidate i survives, suppress every lower-ranked overlap
-        suppress = (iou[i] > iou_thresh) & (order > i) & keep[i]
-        return keep & ~suppress
-
-    keep = lax.fori_loop(0, k, body, cand_valid)
+    keep = _suppression_loop(cand_boxes, cand_valid, iou_thresh, block_size)
 
     # re-rank survivors (already score-ordered) into exactly top_k slots
     final_scores = jnp.where(keep, cand_scores, -1.0)
@@ -71,11 +125,15 @@ def _nms_single(
     out_boxes = jnp.where(out_valid[:, None], cand_boxes[out_idx], 0.0)
     out_labels = jnp.where(out_valid, cand_labels[out_idx], -1)
     out_scores = jnp.where(out_valid, out_scores, 0.0)
-    return out_boxes, out_scores, out_labels, out_valid
+    out_anchor = jnp.where(out_valid, cand_idx[out_idx], -1).astype(jnp.int32)
+    return out_boxes, out_scores, out_labels, out_valid, out_anchor
 
 
 @partial(
-    jax.jit, static_argnames=("iou_thresh", "conf_thresh", "top_k", "pre_nms_top_k")
+    jax.jit,
+    static_argnames=(
+        "iou_thresh", "conf_thresh", "top_k", "pre_nms_top_k", "block_size",
+    ),
 )
 def batched_nms(
     boxes: jnp.ndarray,  # [B, A, 4] xyxy
@@ -84,15 +142,20 @@ def batched_nms(
     iou_thresh: float = 0.6,
     conf_thresh: float = 0.05,
     top_k: int = 100,
-    pre_nms_top_k: int = 1024,
+    pre_nms_top_k: Optional[int] = None,
+    block_size: int = 128,
 ) -> NMSResult:
-    """Class-agnostic greedy NMS vmapped over the batch."""
+    """Class-agnostic greedy NMS vmapped over the batch.
+
+    ``pre_nms_top_k=None`` (default) runs over every candidate passing conf —
+    exact parity with the reference's unbounded torchvision NMS."""
     fn = partial(
         _nms_single,
         iou_thresh=iou_thresh,
         conf_thresh=conf_thresh,
         top_k=top_k,
         pre_nms_top_k=pre_nms_top_k,
+        block_size=block_size,
     )
     out = jax.vmap(fn)(boxes.astype(jnp.float32), scores.astype(jnp.float32), labels)
     return NMSResult(*out)
@@ -104,7 +167,7 @@ def postprocess_detections(
     iou_thresh: float = 0.6,
     conf_thresh: float = 0.05,
     top_k: int = 100,
-    pre_nms_top_k: int = 1024,
+    pre_nms_top_k: Optional[int] = None,
 ) -> NMSResult:
     """Reference validation decode path, batched (running_main_v3.py:535-553):
     per-anchor best class (max score + argmax label), clamp boxes to

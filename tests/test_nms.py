@@ -83,6 +83,70 @@ def test_nms_identical_boxes_keep_one():
     assert float(res.scores[0, 0]) == np.float32(0.9)
 
 
+def test_nms_exact_beyond_window(rng):
+    """VERDICT round-1 weak #4: >1024 candidates above conf must match the
+    unbounded oracle when pre_nms_top_k is None (the default)."""
+    B, A = 2, 3000
+    boxes = np.stack([random_boxes(rng, A) for _ in range(B)])
+    scores = (rng.rand(B, A) * 0.9 + 0.1).astype(np.float32)  # all pass conf
+    labels = rng.randint(0, 2, (B, A)).astype(np.int32)
+
+    res = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_thresh=0.6, conf_thresh=0.05, top_k=100,
+    )
+    for b in range(B):
+        want_keep = np_greedy_nms(boxes[b], scores[b], 0.6)[:100]
+        nvalid = int(np.asarray(res.valid[b]).sum())
+        assert nvalid == len(want_keep)
+        np.testing.assert_allclose(
+            np.asarray(res.boxes[b])[:nvalid], boxes[b][want_keep], atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.indices[b])[:nvalid], want_keep
+        )
+
+
+def test_nms_suppression_chain_across_blocks():
+    """A chain A>B>C (A kills B, B would kill C, A doesn't reach C) must keep
+    A and C — including when the chain straddles a block boundary."""
+    def chain_boxes(n):
+        # boxes shifted by half-width: consecutive IoU ~ 1/3 > 0.25 thresh,
+        # next-but-one IoU 0
+        out = np.zeros((n, 4), np.float32)
+        for i in range(n):
+            out[i] = [i * 20.0, 0.0, i * 20.0 + 40.0, 40.0]
+        return out
+
+    n = 200  # > block_size=128 so the chain crosses a block boundary
+    boxes = chain_boxes(n)[None]
+    scores = np.linspace(0.9, 0.5, n, dtype=np.float32)[None]
+    labels = np.zeros((1, n), np.int32)
+    res = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_thresh=0.25, conf_thresh=0.05, top_k=n,
+    )
+    kept = np.asarray(res.indices[0])[np.asarray(res.valid[0])]
+    np.testing.assert_array_equal(kept, np.arange(0, n, 2))
+
+
+def test_nms_indices_point_at_anchors(rng):
+    B, A = 2, 300
+    boxes = np.stack([random_boxes(rng, A) for _ in range(B)])
+    scores = rng.rand(B, A).astype(np.float32)
+    labels = rng.randint(0, 2, (B, A)).astype(np.int32)
+    res = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_thresh=0.6, conf_thresh=0.05, top_k=50,
+    )
+    for b in range(B):
+        v = np.asarray(res.valid[b])
+        idx = np.asarray(res.indices[b])[v]
+        np.testing.assert_allclose(np.asarray(res.boxes[b])[v], boxes[b][idx])
+        np.testing.assert_allclose(np.asarray(res.scores[b])[v], scores[b][idx])
+        assert (np.asarray(res.indices[b])[~v] == -1).all()
+
+
 def test_postprocess_shapes():
     B, A, nc = 2, 8400, 2
     preds = np.zeros((B, A, 4 + nc), np.float32)

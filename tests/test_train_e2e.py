@@ -1,7 +1,12 @@
 """Minimum end-to-end slice (SURVEY.md §7): synthetic dataset -> loader ->
 v2 single-head model -> jitted sharded train step -> loss decreases ->
 validation metrics -> checkpoint save/restore round-trip. Runs on the
-8-device virtual CPU mesh from conftest."""
+8-device virtual CPU mesh from conftest.
+
+Marked ``slow``: the full-model fwd+bwd XLA compile alone takes several
+minutes on CPU. Run with ``pytest tests/test_train_e2e.py --runslow``; the
+same sharded train-step path is exercised on every round by the driver's
+``__graft_entry__.dryrun_multichip`` (MULTICHIP_r{N}.json)."""
 
 import dataclasses
 
@@ -28,6 +33,8 @@ from multitask_bonetumor_yolo_tpu.train import (
     CheckpointManager,
 )
 from multitask_bonetumor_yolo_tpu.train.loop import ExperimentConfig, Trainer
+
+pytestmark = pytest.mark.slow
 
 IMG = 128
 
