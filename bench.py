@@ -5,13 +5,16 @@ Headline metric (BASELINE.json): images/sec/chip at 640x640 multitask
 inference (detect decode + NMS + seg probs + image-cls), batch 16, bf16.
 
 Measurement methodology — this environment reaches the TPU through a relay
-that (a) does not honour ``block_until_ready`` and (b) coalesces dispatches
-whose input VALUES repeat, so naive timing loops report impossible numbers
+that (a) does not honour ``block_until_ready``, (b) coalesces dispatches
+whose input VALUES repeat, and (c) adds a ~29 ms fixed round-trip cost to
+every device->host fetch, so naive timing loops report impossible numbers
 (validated against the chip's FLOP roofline). Every benchmark therefore runs
 N iterations INSIDE one jitted ``lax.fori_loop`` whose per-iteration input is
 perturbed by the loop index (defeats value-dedup), accumulates a scalar
-across iterations (forces serialized execution), and synchronises via an
-actual device->host fetch of that scalar. Variance across repeats is <1%.
+across iterations (forces serialized execution), synchronises via an actual
+device->host fetch of that scalar, and measures at TWO iteration counts —
+the per-iteration time is the slope (T(n2) - T(n1)) / (n2 - n1), which
+cancels the fetch round-trip exactly. Variance across repeats is <1%.
 
 ``vs_baseline`` divides by REF_GPU_EQUIV_IPS — an ESTIMATED single-GPU
 throughput for the reference PyTorch stack on this model/size (the reference
@@ -34,26 +37,35 @@ REF_GPU_EQUIV_IPS = 250.0  # estimated reference GPU images/sec (see docstring)
 
 
 def _timeloop(body_fn, n_iters: int, reps: int = 3) -> float:
-    """Time one jitted fori_loop of ``body_fn(i) -> scalar``; returns best
-    per-iteration milliseconds across ``reps`` fetch-synced runs."""
+    """Time jitted fori_loops of ``body_fn(i) -> scalar`` at two iteration
+    counts (n and 3n); returns the slope in ms/iteration (best of ``reps``
+    fetch-synced runs each), cancelling the relay's fixed fetch cost."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def loop():
-        def body(i, acc):
-            return acc + body_fn(i)
+    def make_loop(n):
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                return acc + body_fn(i)
 
-        return lax.fori_loop(0, n_iters, body, jnp.zeros(()))
+            return lax.fori_loop(0, n, body, jnp.zeros(()))
 
-    _ = np.asarray(loop())  # compile + sync
-    best = float("inf")
+        return loop
+
+    lo, hi = make_loop(n_iters), make_loop(3 * n_iters)
+    _ = np.asarray(lo())  # compile + sync
+    _ = np.asarray(hi())
+    best_lo = best_hi = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = np.asarray(loop())
-        best = min(best, (time.perf_counter() - t0) / n_iters * 1000.0)
-    return best
+        _ = np.asarray(lo())
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(hi())
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max(best_hi - best_lo, 1e-9) / (2 * n_iters) * 1000.0
 
 
 def _model_and_vars(img: int):

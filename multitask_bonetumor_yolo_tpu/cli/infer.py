@@ -48,6 +48,15 @@ def main(argv=None):
     ap.add_argument("--conf-thresh", type=float, default=0.25)
     ap.add_argument("--nms-iou", type=float, default=0.6)
     ap.add_argument("--top-k", type=int, default=100)
+    ap.add_argument(
+        "--instance-masks", action="store_true",
+        help="compose per-instance masks (NMS coeffs x prototypes, "
+        "reference test_model.py:81-85) and write <stem>_masks.npy",
+    )
+    ap.add_argument(
+        "--no-mask-crop", action="store_true",
+        help="with --instance-masks: skip the crop-to-box step",
+    )
     args = ap.parse_args(argv)
 
     from ..utils.cache import enable_compilation_cache
@@ -74,7 +83,13 @@ def main(argv=None):
             iou_thresh=args.nms_iou, conf_thresh=args.conf_thresh,
             top_k=args.top_k,
         )
-        return nms, out["seg_prob"], out["cls_probs"]
+        inst = None
+        if args.instance_masks:
+            inst = compose_masks(
+                out["seg_coeffs"], out["protos"], nms,
+                crop=not args.no_mask_crop, img_size=model_cfg.img_size,
+            )
+        return nms, out["seg_prob"], out["cls_probs"], inst
 
     logger = RunLogger(args.out_dir)
     results = []

