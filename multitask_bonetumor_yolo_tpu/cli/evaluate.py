@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import BTXRD, BTXRDLoader, DataConfig
+from ..data.dataset import Prefetcher
 from ..losses import LossConfig
 from ..models import ModelConfig
 from ..train import CheckpointManager, TrainConfig, create_train_state, make_eval_step
@@ -54,10 +55,13 @@ def evaluate(args) -> dict:
         model=model_cfg, data=data_cfg, loss=loss_cfg, train=train_cfg,
         run_dir=args.run_dir,
     )
-    vm = ValidationMetrics(exp, class_metrics=args.class_metrics)
+    vm = ValidationMetrics(
+        exp, class_metrics=args.class_metrics,
+        max_det_thresholds=sorted(args.map_thresholds),
+    )
     logger = RunLogger(args.run_dir, args.wandb_project)
     first = True
-    for batch in loader:
+    for batch in Prefetcher(loader):
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         metrics, aux = eval_step(state, jbatch)
         vm.update(metrics, aux, batch)

@@ -21,6 +21,7 @@ import numpy as np
 from ..core.letterbox import letterbox_geometry, PAD_VALUE
 from ..data.dataset import _imread_color_rgb, _resize
 from ..models import ModelConfig, MultitaskModel
+from ..ops.masks import compose_masks
 from ..ops.nms import postprocess_detections
 from ..train import CheckpointManager, TrainConfig, create_train_state
 from ..utils.logging import RunLogger
@@ -96,7 +97,9 @@ def main(argv=None):
     for path in args.images:
         canvas = load_and_letterbox(path, args.img_size)
         img = jnp.asarray(canvas[None], jnp.float32) / 255.0
-        nms, seg_prob, cls_probs = infer(state.params, state.batch_stats, img)
+        nms, seg_prob, cls_probs, inst = infer(
+            state.params, state.batch_stats, img
+        )
         nvalid = int(np.asarray(nms.valid).sum())
         imgs = np.asarray(img)
         logger.log_det_examples(
@@ -117,6 +120,14 @@ def main(argv=None):
             "img_cls_probs": np.asarray(cls_probs[0]).tolist(),
             "mask_area_frac": float((np.asarray(seg_prob[0]) > 0.5).mean()),
         }
+        if inst is not None:
+            mask_path = Path(args.out_dir) / f"{Path(path).stem}_masks.npy"
+            mask_path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(mask_path, np.asarray(inst[0, :nvalid] > 0.5))
+            rec["instance_masks"] = str(mask_path)
+            rec["instance_mask_areas"] = [
+                float(m) for m in np.asarray(inst[0, :nvalid] > 0.5).mean((1, 2))
+            ]
         results.append(rec)
         print(json.dumps(rec))
     out_json = Path(args.out_dir) / "predictions.json"

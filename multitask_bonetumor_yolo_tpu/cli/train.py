@@ -106,6 +106,25 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--mosaic", type=float, default=0.0)
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--wandb-project", default=None)
+    ap.add_argument(
+        "--resume", default=None, metavar="PATH|auto",
+        help="resume from a checkpoint path, or 'auto' for the run dir's "
+        "last checkpoint",
+    )
+    ap.add_argument(
+        "--convnext-ckpt", default=None,
+        help="torch state-dict (.pt/.pth/.safetensors-extracted) of timm "
+        "convnext_tiny for backbone warm start (reference main_model.py:21-26)",
+    )
+    ap.add_argument(
+        "--detect-ckpt", default=None,
+        help="torch state-dict of a YOLOv8 Detect model for head warm start "
+        "(reference load_pretrained_heads, main_model.py:399-603)",
+    )
+    ap.add_argument(
+        "--segment-ckpt", default=None,
+        help="torch state-dict of a YOLOv8-seg model for Segment-head warm start",
+    )
     return ap
 
 
@@ -115,7 +134,10 @@ def main(argv=None):
     enable_compilation_cache()
     args = make_parser().parse_args(argv)
     cfg = build_config(args)
-    trainer = Trainer(cfg)
+    trainer = Trainer(
+        cfg, resume=args.resume, convnext_ckpt=args.convnext_ckpt,
+        detect_ckpt=args.detect_ckpt, segment_ckpt=args.segment_ckpt,
+    )
     print(f"[train] {len(trainer.train_ds)} train / {len(trainer.val_ds)} val "
           f"items, {trainer.train_cfg.steps_per_epoch} steps/epoch, "
           f"run dir {cfg.run_dir}")

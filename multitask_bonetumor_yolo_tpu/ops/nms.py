@@ -61,8 +61,14 @@ def _suppression_loop(
     boxes = jnp.pad(boxes, ((0, kpad - k), (0, 0)))
     keep = jnp.pad(valid, (0, kpad - k))
     pos = jnp.arange(kpad)
+    # candidates are score-sorted, so every block past the last valid
+    # candidate is pure padding — the block loop exits early at that point
+    # (a trained detector passes a few hundred of 8400 anchors; this cuts
+    # the loop from kpad/t blocks to ~n_valid/t)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    def block_body(b, keep):
+    def block_body(state):
+        b, keep = state
         blk_boxes = lax.dynamic_slice_in_dim(boxes, b * t, t)
         blk_keep = lax.dynamic_slice_in_dim(keep, b * t, t)
 
@@ -90,9 +96,11 @@ def _suppression_loop(
         sup = jnp.any(
             (iou_ba > iou_thresh) & blk_final[:, None], axis=0
         ) & (pos >= (b + 1) * t)
-        return keep & ~sup
+        return b + 1, keep & ~sup
 
-    keep = lax.fori_loop(0, nblk, block_body, keep)
+    _, keep = lax.while_loop(
+        lambda s: s[0] * t < n_valid, block_body, (jnp.asarray(0), keep)
+    )
     return keep[:k]
 
 

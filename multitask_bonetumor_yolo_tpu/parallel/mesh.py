@@ -47,6 +47,22 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Device-put every array with its leading dim sharded over 'data'."""
+    """Device-put every array with its leading dim sharded over 'data'.
+
+    The leading (batch) dim must divide the data-axis size — the Trainer
+    guarantees this by scaling the global batch to per-device x n_devices
+    (reference analogue: Lightning DDP's per-process batch_size,
+    running_main_v3.py:746-766, :824-828) and by pad_last batches being
+    padded to the full global batch. Anything else fails loudly here rather
+    than deep inside device_put."""
+    n_data = mesh.shape["data"]
+    sizes = {k: np.shape(v)[0] for k, v in batch.items() if np.ndim(v)}
+    bad = {k: s for k, s in sizes.items() if s % n_data}
+    if bad:
+        raise ValueError(
+            f"batch dims {bad} not divisible by data-axis size {n_data}; "
+            f"use a per-device batch size (global = per_device * {n_data}) "
+            f"or a pad_last loader"
+        )
     sh = data_sharding(mesh)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}

@@ -32,6 +32,7 @@ from ..metrics.segmentation import mask_map_inputs
 from ..models import ModelConfig
 from ..parallel import create_mesh, shard_batch
 from ..utils.logging import RunLogger
+from ..utils.profiling import PhaseTimer, annotate
 from .checkpoint import CheckpointManager
 from .state import TrainConfig, TrainState, create_train_state, lr_at
 from .steps import make_eval_step, make_train_step
@@ -95,19 +96,28 @@ def nms_to_map_preds(aux: Dict[str, np.ndarray]):
 class ValidationMetrics:
     """Bundles every accumulator the reference's validation epoch keeps."""
 
-    def __init__(self, cfg: ExperimentConfig, class_metrics: bool = False):
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        class_metrics: bool = False,
+        max_det_thresholds=None,
+    ):
+        """``max_det_thresholds`` mirrors the reference's --map_thresholds
+        rebuild of its mAP metrics (evaluate_model.py:81-94); defaults to
+        the train-loop [1, 10, eval_top_k]."""
         self.cfg = cfg
         tc = cfg.train
+        mdt = list(max_det_thresholds or [1, 10, tc.eval_top_k])
         self.seg = BinarySegMetrics()
         self.cls = ClassificationMetrics(cfg.model.nc_img)
         self.det_cm = ClassificationMetrics(cfg.model.nc_det)
         self.map50 = MeanAveragePrecision(
             iou_thresholds=[0.5],
-            max_detection_thresholds=[1, 10, tc.eval_top_k],
+            max_detection_thresholds=mdt,
             class_metrics=class_metrics,
         )
         self.map50_95 = MeanAveragePrecision(
-            max_detection_thresholds=[1, 10, tc.eval_top_k],
+            max_detection_thresholds=mdt,
             class_metrics=class_metrics,
         )
         self.seg_map = MeanAveragePrecision(iou_type="segm")
@@ -178,15 +188,32 @@ class ValidationMetrics:
 
 
 class Trainer:
-    def __init__(self, cfg: ExperimentConfig):
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        resume: Optional[str] = None,
+        convnext_ckpt: Optional[str] = None,
+        detect_ckpt: Optional[str] = None,
+        segment_ckpt: Optional[str] = None,
+    ):
+        """``resume``: checkpoint path, or "auto" for the run dir's last
+        checkpoint (the reference resumes via Lightning
+        load_from_checkpoint). ``convnext_ckpt``/``detect_ckpt``/
+        ``segment_ckpt``: torch state-dict paths for the reference's
+        pretrained warm start (timm convnext_tiny + YOLOv8 heads,
+        main_model.py:399-603)."""
         self.cfg = cfg
         self.logger = RunLogger(cfg.run_dir, cfg.wandb_project)
         self.mesh = create_mesh()
+        # DataConfig.batch_size is PER-DEVICE (the reference's Lightning-DDP
+        # semantics: batch 4 per process, running_main_v3.py:746-766); the
+        # loader assembles global batches of per_device x n_data_devices.
+        self.global_batch = cfg.data.batch_size * int(self.mesh.shape["data"])
         self.train_ds = BTXRD(cfg.data, "train")
         self.val_ds = BTXRD(cfg.data, "val")
         if len(self.train_ds) == 0:
             raise RuntimeError(f"No training data under {cfg.data.root}")
-        steps = max(1, len(self.train_ds) // cfg.data.batch_size)
+        steps = max(1, len(self.train_ds) // self.global_batch)
         self.train_cfg = dataclasses.replace(cfg.train, steps_per_epoch=steps)
         self.state = create_train_state(cfg.model, self.train_cfg)
         self.train_step = make_train_step(cfg.model, cfg.loss, cfg.augment)
@@ -196,6 +223,27 @@ class Trainer:
             top_k=self.train_cfg.ckpt_top_k,
         )
         self.rng = jax.random.PRNGKey(self.train_cfg.seed)
+
+        if convnext_ckpt or detect_ckpt or segment_ckpt:
+            from ..utils.import_torch_weights import load_pretrained
+
+            params, stats = load_pretrained(
+                self.state.params, self.state.batch_stats,
+                convnext_path=convnext_ckpt,
+                detect_sd_path=detect_ckpt,
+                segment_sd_path=segment_ckpt,
+            )
+            self.state = self.state.replace(
+                params=params, batch_stats=stats
+            )
+        if resume:
+            path = None if resume == "auto" else resume
+            if resume == "auto" and self.ckpt.last_path() is None:
+                print("[trainer] --resume auto: no checkpoint yet, "
+                      "starting fresh")
+            else:
+                self.state = self.ckpt.restore(self.state, path)
+                print(f"[trainer] resumed from step {int(self.state.step)}")
 
     # ------------------------------------------------------------------
     def fit(self, max_epochs: Optional[int] = None) -> TrainState:
@@ -218,33 +266,69 @@ class Trainer:
         epochs = max_epochs or self.train_cfg.max_epochs
         best_metric, best_epoch = -float("inf"), -1
         global_step = int(self.state.step)
+        start_epoch = global_step // self.train_cfg.steps_per_epoch
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
+            timer = PhaseTimer()
             loader = BTXRDLoader(
-                self.train_ds, cfg.data.batch_size, shuffle=True,
+                self.train_ds, self.global_batch, shuffle=True,
                 drop_last=True, seed=self.train_cfg.seed + epoch,
             )
-            for batch in Prefetcher(loader):
+            it = iter(Prefetcher(loader))
+            aux = None
+            while True:
+                with timer.phase("data"):
+                    batch = next(it, None)
+                if batch is None:
+                    break
                 self.rng, step_rng = jax.random.split(self.rng)
-                sharded = shard_batch(batch, self.mesh)
-                self.state, metrics = self.train_step(
-                    self.state, sharded, step_rng
-                )
+                with timer.phase("train_step"), annotate("train_step"):
+                    sharded = shard_batch(batch, self.mesh)
+                    self.state, metrics, aux = self.train_step(
+                        self.state, sharded, step_rng
+                    )
                 global_step += 1
                 if global_step % cfg.log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     metrics["lr"] = lr_at(self.train_cfg, global_step)
+                    # train-stage cls metrics (running_main_v3.py:430-437)
+                    tc = ClassificationMetrics(cfg.model.nc_img)
+                    tc.update(np.asarray(aux["cls_logits"]),
+                              np.asarray(batch["img_cls"]))
+                    metrics.update(
+                        {f"img_{k}": v for k, v in tc.compute().items()}
+                    )
                     self.logger.log(
                         metrics, global_step, prefix="train_step",
                         to_console=True,
                     )
 
-            val = self.validate(epoch, global_step)
+            if aux is not None and epoch % cfg.viz_every_epochs == 0:
+                # train-stage overlays (running_main_v3.py:439-444)
+                with timer.phase("viz"):
+                    imgs = np.asarray(aux["image"]).astype(np.float32)
+                    if imgs.max() > 1.5:
+                        imgs = imgs / 255.0
+                    self.logger.log_seg_examples(
+                        imgs, np.asarray(aux["seg_prob"]),
+                        np.asarray(batch["mask"]), stage="train",
+                        step=global_step,
+                    )
+            with timer.phase("validate"), annotate("validate"):
+                val = self.validate(epoch, global_step)
             map50 = val.get("map_iou50_map", -1.0)
-            self.ckpt.save(self.state, global_step, metric=map50, epoch=epoch)
+            with timer.phase("checkpoint"):
+                self.ckpt.save(
+                    self.state, global_step, metric=map50, epoch=epoch
+                )
             self.logger.log(
-                {"epoch": epoch, "epoch_time_s": time.time() - t0},
+                {
+                    "epoch": epoch,
+                    "epoch_time_s": time.time() - t0,
+                    **{f"phase_{k}_s": round(v, 4)
+                       for k, v in timer.totals.items()},
+                },
                 global_step, prefix="train_epoch",
             )
             if map50 > best_metric:
@@ -259,9 +343,9 @@ class Trainer:
     def validate(self, epoch: int, global_step: int) -> Dict[str, float]:
         cfg = self.cfg
         vm = ValidationMetrics(cfg)
-        loader = BTXRDLoader(self.val_ds, cfg.data.batch_size, pad_last=True)
+        loader = BTXRDLoader(self.val_ds, self.global_batch, pad_last=True)
         first = True
-        for batch in loader:
+        for batch in Prefetcher(loader):
             sharded = shard_batch(batch, self.mesh)
             metrics, aux = self.eval_step(self.state, sharded)
             vm.update(metrics, aux, batch)

@@ -49,9 +49,9 @@ def make_train_step(
                 mutable=["batch_stats"],
             )
             lo = multitask_loss(out, batch, loss_cfg, train=True)
-            return lo.total, (lo, updates["batch_stats"])
+            return lo.total, (lo, updates["batch_stats"], out)
 
-        (total, (lo, new_stats)), grads = jax.value_and_grad(
+        (total, (lo, new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads=grads, batch_stats=new_stats)
@@ -62,7 +62,15 @@ def make_train_step(
             "avg_iou": lo.avg_iou,
             "grad_norm": optax_global_norm(grads),
         }
-        return state, metrics
+        # train-stage observability (reference log_cls_metrics /
+        # log_seg_examples cadence, running_main_v3.py:430-444): tiny logits
+        # always; the seg map is fetched only on the viz cadence
+        aux = {
+            "cls_logits": out["cls_logits"],
+            "seg_prob": jax.nn.sigmoid(out["seg_logits"]),
+            "image": batch["image"],
+        }
+        return state, metrics, aux
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 

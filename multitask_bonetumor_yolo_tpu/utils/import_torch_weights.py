@@ -69,15 +69,26 @@ def load_torch_state_dict(path: str) -> Dict[str, Array]:
 
 # ---------------------------------------------------------------- ConvNeXt
 def convert_convnext_tiny(
-    sd: StateDict, depths=(3, 3, 9, 3)
+    sd: StateDict, depths=None
 ) -> Dict[str, dict]:
     """timm convnext_tiny state_dict -> params for models.backbone.ConvNeXtFeatures.
 
     Accepts both timm's classifier checkpoints (keys like
     ``stem.0.weight``, ``stages.0.blocks.0.conv_dw.weight``) and
-    features_only prefixes (leading ``body.`` stripped)."""
+    features_only prefixes (leading ``body.`` stripped). ``depths`` is
+    inferred from the keys when not given (convnext_tiny: (3, 3, 9, 3))."""
     sd = {k.removeprefix("body.").removeprefix("model."): np.asarray(v)
           for k, v in sd.items()}
+    if depths is None:
+        import re
+
+        counts: Dict[int, int] = {}
+        for k in sd:
+            m = re.match(r"stages\.(\d+)\.blocks\.(\d+)\.", k)
+            if m:
+                s, b = int(m.group(1)), int(m.group(2))
+                counts[s] = max(counts.get(s, -1), b)
+        depths = tuple(counts[i] + 1 for i in sorted(counts))
 
     def ln(prefix: str) -> dict:
         return {

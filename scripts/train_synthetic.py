@@ -1,0 +1,92 @@
+"""Quality-parity evidence run (VERDICT round-1 missing #1).
+
+Generates a rich class-discriminative synthetic BTXRD (ellipse-vs-star
+lesions over radiograph-like backgrounds), trains the flagship model
+on-chip to convergence via the real Trainer/CLI stack, then runs the eval
+CLI on the val split and prints the converged metric table.
+
+  python scripts/train_synthetic.py --variant v1 --epochs 60
+  python scripts/train_synthetic.py --variant v2 --epochs 60   # single-head
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=["v1", "v2"], default="v1")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--n-images", type=int, default=320)
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--iou-match-thresh", type=float, default=0.25,
+                    help="the reference's 0.5 pred-IoU assigner cannot "
+                    "bootstrap from random init (it trains from pretrained "
+                    "weights); 0.25 lets from-scratch training start")
+    ap.add_argument("--data-dir", default="/tmp/synth_rich640")
+    ap.add_argument("--run-dir", default=None)
+    args = ap.parse_args()
+
+    from multitask_bonetumor_yolo_tpu.data.synthetic import make_synthetic_btxrd
+
+    data_dir = Path(args.data_dir)
+    if not (data_dir / "img_cls.csv").exists():
+        print(f"[synth] generating {args.n_images} rich images ...")
+        make_synthetic_btxrd(
+            str(data_dir), n=args.n_images, seed=11, rich=True,
+            min_size=480, max_size=800,
+        )
+
+    run_dir = args.run_dir or f"/tmp/synth_run_{args.variant}"
+    train_args = [
+        "--root", str(data_dir),
+        "--run-dir", run_dir,
+        "--img-size", str(args.img_size),
+        "--batch-size", str(args.batch_size),
+        "--epochs", str(args.epochs),
+        "--lr", str(args.lr),
+        "--iou-match-thresh", str(args.iou_match_thresh),
+        "--map-full-freq", "10",
+        "--log-every", "20",
+        "--early-stop-patience", "30",
+    ]
+    if args.variant == "v2":
+        train_args.append("--single-head")
+
+    from multitask_bonetumor_yolo_tpu.cli.train import main as train_main
+
+    train_main(train_args)
+
+    from multitask_bonetumor_yolo_tpu.train.checkpoint import CheckpointManager
+
+    cm = CheckpointManager(f"{run_dir}/checkpoints")
+    best = cm.best_path() or cm.last_path()
+    print(f"[eval] best checkpoint: {best}")
+
+    from multitask_bonetumor_yolo_tpu.cli.evaluate import main as eval_main
+
+    eval_args = [
+        "--checkpoint-path", str(best),
+        "--root", str(data_dir),
+        "--split", "val",
+        "--img-size", str(args.img_size),
+        "--batch-size", str(args.batch_size),
+        "--run-dir", f"{run_dir}/eval",
+        "--class-metrics",
+    ]
+    if args.variant == "v2":
+        eval_args.append("--single-head")
+    eval_main(eval_args)
+
+
+if __name__ == "__main__":
+    main()

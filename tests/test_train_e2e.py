@@ -71,7 +71,7 @@ def test_loss_decreases_over_steps(cfg, tmp_path):
 
     losses = []
     for i in range(25):
-        state, metrics = step_fn(state, jbatch, rng)
+        state, metrics, _ = step_fn(state, jbatch, rng)
         losses.append(float(metrics["loss_total"]))
     assert np.isfinite(losses).all()
     # overfit one batch: clear decrease
@@ -115,6 +115,19 @@ def test_checkpoint_topk_pruning(cfg, tmp_path):
     assert cm.last_path().name == "step_00000004"
 
 
+def test_trainer_resume_auto(cfg, tmp_path):
+    cfg = dataclasses.replace(cfg, run_dir=str(tmp_path / "run"))
+    t1 = Trainer(cfg)
+    t1.fit(max_epochs=1)
+    step1 = int(t1.state.step)
+    assert step1 > 0
+    t2 = Trainer(cfg, resume="auto")
+    assert int(t2.state.step) == step1
+    # resumed fit continues the epoch count rather than restarting
+    t2.fit(max_epochs=2)
+    assert int(t2.state.step) == 2 * t2.train_cfg.steps_per_epoch
+
+
 def test_eval_step_shapes(cfg):
     tc = dataclasses.replace(cfg.train, steps_per_epoch=1)
     state = create_train_state(cfg.model, tc)
@@ -140,6 +153,6 @@ def test_sharded_train_step_runs_on_mesh(cfg):
     sharded = shard_batch(batch, mesh)
     # image batch dim is sharded across all 8 devices
     assert len(sharded["image"].sharding.device_set) == 8
-    state2, metrics = step_fn(state, sharded, jax.random.PRNGKey(0))
+    state2, metrics, _ = step_fn(state, sharded, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_total"]))
     assert int(state2.step) == 1
