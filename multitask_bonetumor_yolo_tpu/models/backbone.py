@@ -43,16 +43,28 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def _use_pallas(pallas: str, dim: int) -> bool:
+    """Pallas gating: the fused kernel beats XLA on every stage (measured
+    per-stage in BASELINE.md, incl. 768ch); the reference path serves CPU."""
+    import jax
+
+    del dim
+    return pallas == "on" or (
+        pallas == "auto" and jax.default_backend() not in ("cpu",)
+    )
+
+
 class ConvNeXtBlock(nn.Module):
     """One ConvNeXt block: dwconv7x7 -> fp32 LN -> 4x MLP (exact GELU) ->
     layer-scale -> residual.
 
     Owns raw params so the same tree feeds either execution path:
-      * ``pallas="on"``  — the fused VMEM-resident Pallas kernel
-        (ops/pallas/convnext_block.py; ~5x less HBM traffic);
-      * ``pallas="off"`` — the pure-XLA reference (identical numerics, used
-        for CPU tests and as the kernel's backward).
-      * ``pallas="auto"`` — kernel on TPU, reference elsewhere.
+      * ``padded_hw=(w, c)`` — the fused, software-pipelined Pallas kernel
+        on the chained padded layout (ops/pallas/convnext_block.py); the
+        caller pads once per stage via ``pad_for_blocks``;
+      * ``padded_hw=None`` — the pure-XLA reference on [B, H, W, C]
+        (identical numerics, used for CPU tests and as the kernel's
+        backward).
     """
 
     dim: int
@@ -61,10 +73,10 @@ class ConvNeXtBlock(nn.Module):
     pallas: str = "auto"
 
     @nn.compact
-    def __call__(self, x):
-        import jax
-
-        from ..ops.pallas.convnext_block import convnext_block, convnext_block_ref
+    def __call__(self, x, padded_hw=None):
+        from ..ops.pallas.convnext_block import (
+            convnext_block_padded, convnext_block_ref,
+        )
 
         c = self.dim
         he = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
@@ -83,15 +95,10 @@ class ConvNeXtBlock(nn.Module):
             (c,),
         )
         args = (x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
-        # the fused kernel wins on the bandwidth-bound stages (C <= 384,
-        # measured 1.3-1.6x); stage-3's fat matmuls are faster in plain XLA
-        use_pallas = self.pallas == "on" or (
-            self.pallas == "auto"
-            and jax.default_backend() not in ("cpu",)
-            and self.dim <= 384
-        )
-        if use_pallas:
-            return convnext_block(*args)
+        if padded_hw is not None:
+            w_real, c_real = padded_hw
+            assert c_real == c
+            return convnext_block_padded(*args, w_real, c_real)
         return convnext_block_ref(*args)
 
 
@@ -106,6 +113,8 @@ class ConvNeXtFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+        from ..ops.pallas.convnext_block import pad_for_blocks, unpad_from_blocks
+
         outs = []
         for i, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if i == 0:
@@ -121,11 +130,24 @@ class ConvNeXtFeatures(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name=f"downsample_conv{i}",
                 )(x)
-            for j in range(depth):
-                x = ConvNeXtBlock(
+            blocks = [
+                ConvNeXtBlock(
                     dim, dtype=self.dtype, pallas=self.pallas,
                     name=f"stage{i}_block{j}",
-                )(x)
+                )
+                for j in range(depth)
+            ]
+            if _use_pallas(self.pallas, dim):
+                # chain the stage's blocks in the kernel's padded layout:
+                # one XLA pad + one slice per stage instead of per block
+                w_real, c_real = x.shape[2], x.shape[3]
+                xp = pad_for_blocks(x)
+                for blk in blocks:
+                    xp = blk(xp, padded_hw=(w_real, c_real))
+                x = unpad_from_blocks(xp, w_real, c_real)
+            else:
+                for blk in blocks:
+                    x = blk(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)

@@ -9,24 +9,29 @@ This kernel keeps one (row-chunk x W x C) slab resident in VMEM and does
 
 in a single pass — reading x from HBM once and writing y once.
 
-Performance notes (round 2 rewrite, see BASELINE.md profile table):
+Performance notes (round-2 v4 rewrite; measured numbers in BASELINE.md):
+  * in-chunk split pipelining: each row-chunk is processed as two
+    independent halves — the MLP matmuls of half 1 are interleaved with the
+    depthwise conv of half 2 inside ONE straight-line region, so Mosaic's
+    list scheduler runs them on the MXU and VPU concurrently.  (A
+    cross-chunk variant with pl.when-guarded pipeline stages was measured
+    SLOWER: predicated regions fragment Mosaic's scheduling window.)  The
+    dwconv itself runs AT the VPU roofline (~1.8T lane-FMA/s measured via
+    scripts/kernel_lab.py), so overlap is the only remaining lever on it.
   * depthwise 7x7: the W-dimension shift is a sublane realignment, so it is
     hoisted — 7 shifted/cast copies of the slab (one per kernel column),
-    then 49 FMAs whose row offsets are free address arithmetic. The old
-    per-tap slicing paid 49 realignments + 49 casts.
+    then 49 FMAs whose row offsets are free address arithmetic.
   * LayerNorm scale/bias are folded into the fc1 weights outside the kernel
     (w1' = ln_scale * w1, b1' = b1 + ln_bias @ w1), and layer-scale gamma
     into fc2 (w2' = w2 * gamma) — three fewer full-tensor VPU passes.
-  * the input-window DMA is double-buffered across grid steps (scratch
-    persists on-core), overlapping the next slab fetch with the current
-    chunk's VPU/MXU work instead of the old start->wait serialisation.
-  * grid steps pipeline: Mosaic overlaps step i's MXU matmuls with step
-    i+1's VPU depthwise work once the DMA is async.
+  * padded-layout chaining: ``convnext_block_padded`` consumes and produces
+    the (W+halo, C)-padded layout directly, so a stage of N blocks pays ONE
+    XLA pad and ONE slice instead of N of each (models/backbone.py chains
+    them).  The row halo is handled by clamped manual DMA, not pre-padding.
+  * the input-window DMA is double-buffered across grid steps.
 
-Grid: (B, H/RC) row-chunks. The 7x7 halo (+-3 rows/cols) is handled by
-pre-padding H and W by 3 on each side in XLA (one cheap pad per block) and
-DMA-ing the overlapping (RC+6, W+6, C) window manually — BlockSpec blocks
-cannot overlap.
+Grid: flattened (B * H/RC,).  BlockSpec blocks cannot overlap, so the
++-3-row halo window is DMA'd manually from HBM.
 
 The wrapper is a ``jax.custom_vjp``: forward = this kernel, backward = the
 VJP of the numerically-identical pure-jnp reference (``convnext_block_ref``),
@@ -84,30 +89,11 @@ def convnext_block_ref(
 
 
 # ---------------------------------------------------------------- kernel
-def _erf(x: jnp.ndarray) -> jnp.ndarray:
-    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7, fp32).
-
-    Pallas TPU cannot lower the erf/erfc primitives exact GELU needs."""
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
-    )
-    p = 0.3275911
-    sign = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return sign * (1.0 - poly * jnp.exp(-ax * ax))
-
-
-def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
-    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
-
-
 def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
     """tanh-form GELU. Max abs deviation from exact-erf GELU is ~3e-4 —
     an order of magnitude below the bf16 quantisation (~4e-3 relative) the
     surrounding matmuls already apply — and tanh is a single native VPU
-    transcendental, where the erf rational costs ~15 extra VPU passes over
+    transcendental, where an erf rational costs ~15 extra VPU passes over
     the 4C-wide MLP intermediate (measured 0.86 ms/block at stage-0 640²)."""
     return x * 0.5 * (
         1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x))
@@ -115,14 +101,14 @@ def _gelu_fast(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(
-    x_hbm,  # [B, H+6, W+6->wpad, Cp] ANY/HBM (pre-padded)
+    x_hbm,  # [B, H, wpad, cpad] ANY/HBM (W+halo and lane padded, H raw)
     dw_ref,  # [8, 8, Cp] VMEM fp32 (7x7 padded to 8x8; last row/col zero)
     dwb_ref,  # [1, Cp]
     w1_ref,  # [Cp, 4C]   (ln_scale pre-folded)
     b1_ref,  # [1, 4C]    (ln_bias pre-folded)
     w2_ref,  # [4C, Cp]   (gamma pre-folded)
     b2_ref,  # [1, Cp]    (gamma pre-folded)
-    out_ref,  # [1, RC, W, Cp] VMEM block
+    out_ref,  # [1, RC, wpad, Cp] VMEM block
     slab,  # scratch VMEM [2, RC+6, wpad, Cp] double-buffered input windows
     sem,  # DMA semaphores (2,)
     *,
@@ -130,129 +116,233 @@ def _kernel(
     w: int,
     c: int,
     cpad: int,
+    nrows: int,
+    nsplit: int,
     eps: float,
 ):
-    b = pl.program_id(0)
-    r = pl.program_id(1)
-    nrows = pl.num_programs(1)
-    g = b * nrows + r
-    total = pl.num_programs(0) * nrows
+    g = pl.program_id(0)  # flattened (image, row-chunk) id
+    total = pl.num_programs(0)
+
+    # ---- clamped halo DMA: rows [ri*rc-3, ri*rc+rc+3) of image bi ----
+    # DMA sizes must be static, so the first/interior/last row-clamp cases
+    # are separate @pl.when branches; start and wait both rebuild the same
+    # descriptor (the wait amount derives from the descriptor's shape), and
+    # the descriptor is created INSIDE the branch it is used in.
+    h = nrows * rc
+
+    def _cases(gi):
+        bi = gi // nrows
+        slot = gi % 2
+        if nrows == 1:
+            # single chunk covers the whole image: no interior rows exist
+            yield None, lambda: pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(0, rc)],
+                slab.at[slot, pl.ds(3, rc)],
+                sem.at[slot],
+            )
+            return
+        ri = gi % nrows
+        yield ri == 0, lambda: pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(0, rc + 3)],
+            slab.at[slot, pl.ds(3, rc + 3)],
+            sem.at[slot],
+        )
+        yield ri == nrows - 1, lambda: pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(h - (rc + 3), rc + 3)],
+            slab.at[slot, pl.ds(0, rc + 3)],
+            sem.at[slot],
+        )
+        if nrows > 2:
+            yield (ri > 0) & (ri < nrows - 1), lambda: pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(jnp.clip(ri * rc - 3, 0, h - (rc + 6)),
+                                   rc + 6)],
+                slab.at[slot, pl.ds(0, rc + 6)],
+                sem.at[slot],
+            )
 
     def start_dma(gi):
-        bi = gi // nrows
-        ri = gi % nrows
-        return pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(ri * rc, rc + 6)], slab.at[gi % 2], sem.at[gi % 2]
-        )
+        for cond, mk in _cases(gi):
+            if cond is None:
+                mk().start()
+            else:
+                pl.when(cond)(lambda mk=mk: mk().start())
 
-    # double-buffer: step g waits on the copy issued at step g-1 (or its own
-    # prologue copy at g == 0) and prefetches step g+1's window.
+    def wait_dma(gi):
+        for cond, mk in _cases(gi):
+            if cond is None:
+                mk().wait()
+            else:
+                pl.when(cond)(lambda mk=mk: mk().wait())
+
     @pl.when(g == 0)
     def _():
-        start_dma(0).start()
+        start_dma(0)
 
     @pl.when(g + 1 < total)
     def _():
-        start_dma(g + 1).start()
+        start_dma(g + 1)
 
-    start_dma(g).wait()
-    s = slab[g % 2]  # value: [rc+6, wpad, cpad], compute dtype
+    wait_dma(g)
+    slot = g % 2
+    ri = g % nrows
 
-    # ---- depthwise 7x7, one output row per expression ----
-    # Computing each output row as a single 49-term sum keeps the
-    # accumulator tile register/VMEM-local instead of a loop-carried
-    # full-chunk tensor that round-trips VMEM per tap (measured 2.2x
-    # faster than the loop-carried form at stage-0 640² shapes).
-    rows_out = [
-        (
-            dwb_ref[0, :]
-            + sum(
-                s[ri + dy, dx : dx + w, :].astype(jnp.float32)
-                * dw_ref[dy, dx, :]
-                for dy in range(7)
-                for dx in range(7)
+    # stale halo rows from an earlier slot reuse must be zeroed on the
+    # image's border chunks (interior chunks overwrite them via DMA)
+    if nrows == 1:
+        slab[slot, 0:3] = jnp.zeros((3,) + slab.shape[2:], slab.dtype)
+        slab[slot, rc + 3 : rc + 6] = jnp.zeros(
+            (3,) + slab.shape[2:], slab.dtype
+        )
+    else:
+        @pl.when(ri == 0)
+        def _():
+            slab[slot, 0:3] = jnp.zeros((3,) + slab.shape[2:], slab.dtype)
+
+        @pl.when(ri == nrows - 1)
+        def _():
+            slab[slot, rc + 3 : rc + 6] = jnp.zeros(
+                (3,) + slab.shape[2:], slab.dtype
             )
-        )[None]
-        for ri in range(rc)
-    ]
-    y = jnp.concatenate(rows_out, axis=0)
 
-    # ---- LayerNorm over the REAL channels (fp32); scale/bias pre-folded
-    # into w1/b1. Pad lanes carry zeros so sums over cpad divided by c are
-    # exact; the explicit mask is only needed when cpad != c (mean shift
-    # would otherwise leak into pad lanes). ----
-    mean = y.sum(-1, keepdims=True) * (1.0 / c)
-    d = y - mean
-    if cpad != c:
-        lane = lax.broadcasted_iota(jnp.int32, (rc, w, cpad), 2)
-        d = jnp.where(lane < c, d, 0.0)
-    var = (d * d).sum(-1, keepdims=True) * (1.0 / c)
-    z = d * lax.rsqrt(var + eps)
-
-    # ---- MLP on MXU: (rc*w, Cp) @ (Cp, 4C) -> gelu -> @ (4C, Cp) ----
+    s = slab[slot]  # value: [rc+6, wpad, cpad], compute dtype
     dt = slab.dtype
-    rows = z.reshape(rc * w, cpad).astype(dt)
-    h = (
-        jnp.dot(rows, w1_ref[:].astype(dt), preferred_element_type=jnp.float32)
-        + b1_ref[0, :]
-    )
-    h = _gelu_fast(h)
-    o = (
-        jnp.dot(h.astype(dt), w2_ref[:].astype(dt), preferred_element_type=jnp.float32)
-        + b2_ref[0, :]
-    )
+    wpad = out_ref.shape[2]
+    gr = rc // nsplit  # rows per split group
 
-    # ---- residual: center of the slab is x itself ----
-    resid = s[3 : 3 + rc, 3 : 3 + w, :].astype(jnp.float32)
-    out_ref[0] = (resid + o.reshape(rc, w, cpad)).astype(out_ref.dtype)
+    # ---- the chunk is processed as nsplit independent row groups; group
+    # k+1's depthwise conv (VPU) has no dependence on group k's MLP (MXU),
+    # so Mosaic's scheduler overlaps them within this straight-line region
+    def dw_ln(r0):
+        # depthwise 7x7, one output row per expression: a single 49-term
+        # sum keeps the accumulator register/VMEM-local instead of a
+        # loop-carried full-chunk tensor that round-trips VMEM per tap
+        # (measured 2.2x faster than the loop-carried form)
+        rows_out = [
+            (
+                dwb_ref[0, :]
+                + sum(
+                    s[r0 + rr + dy, dx : dx + w, :].astype(jnp.float32)
+                    * dw_ref[dy, dx, :]
+                    for dy in range(7)
+                    for dx in range(7)
+                )
+            )[None]
+            for rr in range(gr)
+        ]
+        y = jnp.concatenate(rows_out, axis=0)
+        # LayerNorm over the REAL channels (fp32); scale/bias folded into
+        # w1/b1. Pad lanes carry zeros, so plain sums over cpad divided by
+        # the real c are exact; E[y^2]-mean^2 gets both moments in one
+        # traversal. No pad-lane mask is needed anywhere: z's pad lanes
+        # hold -mean*rsqrt garbage, but the folded w1's pad ROWS are zero,
+        # so fc1 annihilates them (and the out block's pad lanes come from
+        # resid + o, both zero there).
+        mean = y.sum(-1, keepdims=True) * (1.0 / c)
+        var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
+        r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+        return (y * r - mean * r).astype(dt)
+
+    def mlp_out(z, r0):
+        rows = z.reshape(gr * w, cpad)
+        hmat = (
+            jnp.dot(rows, w1_ref[:].astype(dt),
+                    preferred_element_type=jnp.float32)
+            + b1_ref[0, :]
+        )
+        hmat = _gelu_fast(hmat)
+        o = (
+            jnp.dot(hmat.astype(dt), w2_ref[:].astype(dt),
+                    preferred_element_type=jnp.float32)
+            + b2_ref[0, :]
+        )
+        resid = s[3 + r0 : 3 + r0 + gr, 3 : 3 + w, :].astype(jnp.float32)
+        val = (resid + o.reshape(gr, w, cpad)).astype(out_ref.dtype)
+        # store the full padded-W rows: halo columns stay zero so the next
+        # block in the chain needs no re-pad
+        out_ref[0, r0 : r0 + gr] = jnp.pad(
+            val, ((0, 0), (3, wpad - w - 3), (0, 0))
+        )
+
+    zs = [dw_ln(k * gr) for k in range(nsplit)]
+    for k in range(nsplit):
+        mlp_out(zs[k], k * gr)
 
 
 def _pick_row_chunk(h: int, w: int, c: int, dtype_bytes: int = 2) -> int:
-    """Largest divisor row-chunk keeping 2x slab + MLP intermediate + weights
-    under the 16M VMEM limit (with headroom for Mosaic's own buffers)."""
+    """Largest correct divisor row-chunk fitting the VMEM budget.
+
+    Correctness: with more than two chunks per image, interior chunks need
+    their full +-3-row halo inside [0, H), which requires rc >= 3 (the
+    clamped-DMA scheme only special-cases the first/last chunk). If no
+    correct divisor fits the budget, the smallest correct one is returned
+    (VMEM-oversubscribed but Mosaic may still schedule it)."""
     budget = 9 * 1024 * 1024
     cpad = -(-c // 128) * 128
     weights = 2 * cpad * 4 * c * dtype_bytes  # w1 + w2 in compute dtype
-    best = 1
-    for rc in range(1, h + 1):
-        if h % rc:
-            continue
-        slab = 2 * (rc + 6) * (-(-(w + 6) // 8) * 8) * cpad * dtype_bytes
-        inter = rc * w * 4 * c * 4  # fp32 MLP intermediate
+
+    def vmem(rc):
+        wpad = -(-(w + 6) // 8) * 8
+        slab = 2 * (rc + 6) * wpad * cpad * dtype_bytes
+        inter = rc * w * 4 * c * 4  # fp32 MLP intermediate (both groups)
         acc = rc * w * cpad * 4
-        out = rc * w * cpad * dtype_bytes
-        if weights + slab + inter + acc + out < budget:
-            best = rc
-    return best
+        out = 2 * rc * wpad * cpad * dtype_bytes  # double-buffered out block
+        return weights + slab + inter + acc + out
+
+    correct = [rc for rc in range(1, h + 1)
+               if h % rc == 0 and (h // rc <= 2 or rc >= 3)]
+    fitting = [rc for rc in correct if vmem(rc) < budget]
+    if fitting:
+        return max(fitting)
+    return min(correct, key=vmem)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
-def convnext_block(
-    x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-    eps: float = 1e-6,
-    interpret: bool = False,
-):
-    """Fused ConvNeXt block (Pallas forward, XLA-reference backward)."""
-    return _forward(
-        x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-        eps, interpret,
-    )
-
-
-def _forward(
-    x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-    eps: float, interpret: bool,
-):
+def pad_for_blocks(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> the chained kernel layout [B, H, wpad, cpad]
+    (W shifted by the 3-column halo; lanes zero-padded to a 128 multiple)."""
     b, h, w, c = x.shape
-    rc = _pick_row_chunk(h, w, c, dtype_bytes=x.dtype.itemsize)
-    # Mosaic DMA slices must be tile-aligned: sublane (W) to 8 and lane (C)
-    # to 128. Pad the logical width/channels; pad lanes carry zeros and the
-    # kernel's masked LayerNorm keeps statistics exact over the real C.
     wpad = -(-(w + 6) // 8) * 8
     cpad = -(-c // 128) * 128
-    x_pad = jnp.pad(
-        x, ((0, 0), (3, 3), (3, 3 + wpad - (w + 6)), (0, cpad - c))
+    return jnp.pad(x, ((0, 0), (0, 0), (3, wpad - w - 3), (0, cpad - c)))
+
+
+def unpad_from_blocks(x_pad: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
+    """Inverse of :func:`pad_for_blocks`."""
+    return x_pad[:, :, 3 : 3 + w, :c]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+def convnext_block_padded(
+    x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+    w: int,
+    c: int,
+    eps: float = 1e-6,
+    interpret: bool = False,
+    row_chunk: int = 0,
+):
+    """Fused ConvNeXt block on the padded chained layout [B, H, wpad, cpad]
+    (Pallas forward, XLA-reference backward). ``w``/``c`` are the real
+    spatial width / channel count inside the padding. ``row_chunk=0`` picks
+    the largest VMEM-fitting divisor of H (tests override it to force the
+    multi-chunk pipeline on small shapes)."""
+    return _forward_padded(
+        x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        w, c, eps, interpret, row_chunk,
     )
+
+
+def _forward_padded(
+    x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+    w: int, c: int, eps: float, interpret: bool, row_chunk: int = 0,
+):
+    b, h, wpad, cpad = x_pad.shape
+    assert wpad == -(-(w + 6) // 8) * 8 and cpad == -(-c // 128) * 128, (
+        x_pad.shape, w, c,
+    )
+    rc = row_chunk or _pick_row_chunk(h, w, c, dtype_bytes=x_pad.dtype.itemsize)
+    assert h % rc == 0, (h, rc)
+    nrows = h // rc
+    # interior chunks need the full +-3-row halo inside the image
+    assert nrows <= 2 or rc >= 3, (h, rc)
 
     # 7x7 kernel [7,7,1,C] -> padded [8,8,Cp] fp32 (zeros in the extra taps)
     dw = jnp.pad(
@@ -277,14 +367,23 @@ def _forward(
 
     # weights travel to VMEM in the compute dtype (the kernel's MXU dots
     # cast anyway); fp32 copies would blow the stage-3 VMEM budget
-    w1p = jnp.pad(w1f.astype(x.dtype), ((0, cpad - c), (0, 0)))
-    w2p = jnp.pad(w2f.astype(x.dtype), ((0, 0), (0, cpad - c)))
+    w1p = jnp.pad(w1f.astype(x_pad.dtype), ((0, cpad - c), (0, 0)))
+    w2p = jnp.pad(w2f.astype(x_pad.dtype), ((0, 0), (0, cpad - c)))
 
-    kern = functools.partial(_kernel, rc=rc, w=w, c=c, cpad=cpad, eps=eps)
+    total = b * nrows
+    nsplit = 2 if (rc % 2 == 0 and rc >= 8) else 1
+    kern = functools.partial(
+        _kernel, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, nsplit=nsplit,
+        eps=eps,
+    )
+
+    def out_index(g):
+        return (g // nrows, g % nrows, 0, 0)
+
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, cpad), x.dtype),
-        grid=(b, h // rc),
+        out_shape=jax.ShapeDtypeStruct((b, h, wpad, cpad), x_pad.dtype),
+        grid=(total,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x_pad stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -295,39 +394,66 @@ def _forward(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, rc, w, cpad), lambda bi, ri: (bi, ri, 0, 0),
-            memory_space=pltpu.VMEM,
+            (1, rc, wpad, cpad), out_index, memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rc + 6, wpad, cpad), x.dtype),
+            pltpu.VMEM((2, rc + 6, wpad, cpad), x_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * c * (49 + 8 * c),
-            bytes_accessed=2 * b * h * w * c * 2,
+            bytes_accessed=2 * b * h * wpad * cpad * 2,
             transcendentals=b * h * w * 4 * c,
         ),
     )(
         x_pad, dw, row2(dw_bias, cpad), w1p, row2(b1f, 4 * c), w2p,
         row2(b2f, cpad),
     )
-    return out[..., :c]
+    return out
 
 
-def _fwd(x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-         eps, interpret):
-    out = _forward(
-        x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-        eps, interpret,
+def _padded_ref(x_pad, *args, w: int, c: int, eps: float):
+    """Numerically-identical XLA path on the padded layout (backward + CPU)."""
+    x = unpad_from_blocks(x_pad, w, c)
+    y = convnext_block_ref(x, *args, eps=eps)
+    return pad_for_blocks(y)
+
+
+def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
+                gamma, w, c, eps, interpret, row_chunk):
+    out = _forward_padded(
+        x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        w, c, eps, interpret, row_chunk,
     )
-    return out, (x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    return out, (x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2,
+                 b2, gamma)
 
 
-def _bwd(eps, interpret, residuals, g):
-    args = residuals
-    _, vjp = jax.vjp(lambda *a: convnext_block_ref(*a, eps=eps), *args)
+def _bwd_padded(w, c, eps, interpret, row_chunk, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _padded_ref(*a, w=w, c=c, eps=eps), *residuals
+    )
     return vjp(g)
 
 
-convnext_block.defvjp(_fwd, _bwd)
+convnext_block_padded.defvjp(_fwd_padded, _bwd_padded)
+
+
+def convnext_block(
+    x, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+    eps: float = 1e-6,
+    interpret: bool = False,
+    row_chunk: int = 0,
+):
+    """Fused ConvNeXt block on the plain [B, H, W, C] layout.
+
+    Convenience wrapper: pad -> chained kernel -> slice. A stage of several
+    blocks should instead pad once and chain ``convnext_block_padded``
+    (models/backbone.py does)."""
+    _, _, w, c = x.shape
+    out = convnext_block_padded(
+        pad_for_blocks(x), dw_kernel, dw_bias, ln_scale, ln_bias,
+        w1, b1, w2, b2, gamma, w, c, eps, interpret, row_chunk,
+    )
+    return unpad_from_blocks(out, w, c)

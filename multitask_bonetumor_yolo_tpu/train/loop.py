@@ -276,12 +276,13 @@ class Trainer:
                 drop_last=True, seed=self.train_cfg.seed + epoch,
             )
             it = iter(Prefetcher(loader))
-            aux = None
+            aux, last_batch = None, None
             while True:
                 with timer.phase("data"):
                     batch = next(it, None)
                 if batch is None:
                     break
+                last_batch = batch
                 self.rng, step_rng = jax.random.split(self.rng)
                 with timer.phase("train_step"), annotate("train_step"):
                     sharded = shard_batch(batch, self.mesh)
@@ -312,7 +313,7 @@ class Trainer:
                         imgs = imgs / 255.0
                     self.logger.log_seg_examples(
                         imgs, np.asarray(aux["seg_prob"]),
-                        np.asarray(batch["mask"]), stage="train",
+                        np.asarray(last_batch["mask"]), stage="train",
                         step=global_step,
                     )
             with timer.phase("validate"), annotate("validate"):

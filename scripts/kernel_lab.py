@@ -28,7 +28,7 @@ def build_variant(variant, b, h, w, c, rc, dt, padded_io=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from multitask_bonetumor_yolo_tpu.ops.pallas.convnext_block import (
-        _gelu_exact,
+        _gelu_fast as _gelu_exact,
     )
 
     wpad = -(-(w + 6) // 8) * 8

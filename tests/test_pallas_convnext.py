@@ -66,6 +66,36 @@ def test_kernel_gradients_match_reference(rng):
                                    rtol=2e-3)
 
 
+def test_kernel_multichunk_pipeline(rng):
+    """Force several row-chunks per image: exercises the clamped first /
+    interior / last halo DMAs, the triple-buffered slab, and the one-step
+    MXU pipeline delay across chunk AND image boundaries."""
+    args = make_args(rng, b=2, h=16, w=8, c=16)
+    want = convnext_block_ref(*args)
+    got = convnext_block(*args, 1e-6, True, 4)  # row_chunk=4 -> 4 chunks/img
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+    # two chunks per image: every chunk is a border chunk (no interior case)
+    got2 = convnext_block(*args, 1e-6, True, 8)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), atol=2e-4)
+
+
+def test_padded_chaining_roundtrip(rng):
+    """pad_for_blocks -> two chained padded blocks -> unpad == two plain
+    reference blocks (the stage-level chaining models/backbone.py uses)."""
+    from multitask_bonetumor_yolo_tpu.ops.pallas.convnext_block import (
+        convnext_block_padded, pad_for_blocks, unpad_from_blocks,
+    )
+
+    args = make_args(rng, b=1, h=8, w=8, c=16)
+    x, rest = args[0], args[1:]
+    want = convnext_block_ref(convnext_block_ref(x, *rest), *rest)
+    xp = pad_for_blocks(x)
+    xp = convnext_block_padded(xp, *rest, 8, 16, 1e-6, True)
+    xp = convnext_block_padded(xp, *rest, 8, 16, 1e-6, True)
+    got = unpad_from_blocks(xp, 8, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=4e-4)
+
+
 def test_backbone_pallas_flag_structure(rng):
     """pallas='off' and 'on'(interpreted) share one param tree."""
     from multitask_bonetumor_yolo_tpu.models.backbone import ConvNeXtBlock
