@@ -61,8 +61,10 @@ def evaluate(args) -> dict:
     )
     logger = RunLogger(args.run_dir, args.wandb_project)
     first = True
-    for batch in Prefetcher(loader):
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for batch, jbatch in Prefetcher(
+        loader,
+        map_fn=lambda b: (b, {k: jnp.asarray(v) for k, v in b.items()}),
+    ):
         metrics, aux = eval_step(state, jbatch)
         vm.update(metrics, aux, batch)
         if first and args.log_examples:

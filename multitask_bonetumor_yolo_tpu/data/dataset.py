@@ -208,9 +208,14 @@ class Prefetcher:
     """Background-thread batch prefetch — the TPU-side replacement for the
     reference's 2 DataLoader worker processes (running_main_v3.py:755-766):
     cv2 decode/letterbox overlaps with device compute, keeping the train
-    step fed."""
+    step fed.
 
-    def __init__(self, iterable, depth: int = 2):
+    ``map_fn`` (e.g. ``parallel.shard_batch``) runs INSIDE the worker
+    thread, so host->device transfer of batch k+1 overlaps the device
+    compute of batch k instead of sitting on the step's critical path (the
+    TPU relay here makes synchronous device_put cost O(100 ms)/batch)."""
+
+    def __init__(self, iterable, depth: int = 2, map_fn=None):
         import queue
         import threading
 
@@ -221,7 +226,7 @@ class Prefetcher:
         def worker():
             try:
                 for item in iterable:
-                    self._q.put(item)
+                    self._q.put(item if map_fn is None else map_fn(item))
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:

@@ -50,6 +50,14 @@ class BinarySegMetrics:
         self.fn += int(fn)
         self.tn += int(tn)
 
+    def update_counts(self, counts) -> None:
+        """counts: [N, 4] per-sample (tp, fp, fn, tn), e.g. device-computed."""
+        tp, fp, fn, tn = np.asarray(counts).sum(axis=0)
+        self.tp += int(tp)
+        self.fp += int(fp)
+        self.fn += int(fn)
+        self.tn += int(tn)
+
     def compute(self) -> Dict[str, float]:
         eps = 1e-12
         tp, fp, fn, tn = self.tp, self.fp, self.fn, self.tn
@@ -65,6 +73,32 @@ class BinarySegMetrics:
             "accuracy": float((tp + tn) / max(total, 1)),
             "iou": float(tp / max(tp + fp + fn, 1)),
         }
+
+
+def mask_map_inputs_from_masks(pred_masks, scores, gt_masks):
+    """Like :func:`mask_map_inputs` but from pre-thresholded masks and
+    per-image scores (both computable on device; only bools/scalars cross
+    the host boundary)."""
+    pred_masks = np.asarray(pred_masks).astype(bool)
+    scores = np.asarray(scores, np.float32)
+    gt_masks = np.asarray(gt_masks)
+    if pred_masks.ndim == 4:
+        pred_masks = pred_masks[..., 0]
+    if gt_masks.ndim == 4:
+        gt_masks = gt_masks[..., 0]
+    preds, targets = [], []
+    for i in range(pred_masks.shape[0]):
+        preds.append(
+            dict(
+                masks=pred_masks[i][None],
+                scores=np.asarray([scores[i]], np.float32),
+                labels=np.zeros((1,), np.int64),
+            )
+        )
+        targets.append(
+            dict(masks=(gt_masks[i] > 0.5)[None], labels=np.zeros((1,), np.int64))
+        )
+    return preds, targets
 
 
 def mask_map_inputs(seg_probs: np.ndarray, gt_masks: np.ndarray, thresh: float = 0.5):

@@ -114,6 +114,11 @@ class DepthwiseConvBlock(nn.Module):
     Note the reference's depthwise conv maps in_channels->out_channels with
     groups=in_channels (requires out == in for its k=1 default use); both convs
     are bias-free; only ONE BN after the pointwise conv.
+
+    Fast path: at k=1/s=1 the depthwise conv is a per-channel scale applied
+    directly before the (linear, bias-free) pointwise conv, so the pair folds
+    exactly into ONE 1x1 conv with kernel ``dw_scale[:, None] * pw`` — same
+    parameter tree, gradients flow through the fold, valid in train and eval.
     """
 
     features: int
@@ -125,23 +130,43 @@ class DepthwiseConvBlock(nn.Module):
     def __call__(self, x, train: bool = True):
         c_in = x.shape[-1]
         p = autopad(self.kernel_size)
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=((p, p), (p, p)),
-            feature_group_count=c_in,
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
-        x = nn.Conv(
-            self.features,
-            (1, 1),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        fold = (
+            self.kernel_size == 1
+            and self.strides == 1
+            and self.features == c_in
+            and not self.is_initializing()
+        )
+        if fold:
+            import jax.lax as lax
+
+            params = self.variables["params"]
+            dwk = params["Conv_0"]["kernel"]  # [1,1,1,C]
+            pwk = params["Conv_1"]["kernel"]  # [1,1,C,C]
+            folded = (pwk * dwk[0, 0, 0][None, None, :, None]).astype(
+                self.dtype
+            )
+            x = lax.conv_general_dilated(
+                x, folded, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=((p, p), (p, p)),
+                feature_group_count=c_in,
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+            x = nn.Conv(
+                self.features,
+                (1, 1),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM_BODY,

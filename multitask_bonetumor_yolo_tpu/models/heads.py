@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 from typing import Any, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -147,7 +148,15 @@ class DetectHead(nn.Module):
 
 
 class Proto(nn.Module):
-    """Prototype-mask generator on P3 (ultralytics Proto block)."""
+    """Prototype-mask generator on P3 (ultralytics Proto block).
+
+    Inference fast path: ``upsample`` (ConvTranspose 2x2/s2) and ``cv2``'s
+    3x3 conv are both linear with the nonlinearity only after cv2's conv,
+    so at eval they run as one composed op (four 2x2 phase convs + pixel
+    shuffle, ops/fused_upsample.py) — removing the model's single most
+    expensive conv (3x3 @ 2xP3 resolution, 483 GF/batch-16 at 640²). The
+    parameter tree is identical in both modes; training keeps the unfused
+    modules so BatchNorm batch-statistics updates stay intact."""
 
     npr: int = 256
     nm: int = 32
@@ -155,13 +164,49 @@ class Proto(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from ..ops.fused_upsample import (
+            fused_upsample_conv3x3_phases, shuffle_phases,
+        )
+
         x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv1")(x, train)
-        x = nn.ConvTranspose(
-            self.npr, (2, 2), strides=(2, 2), use_bias=True,
-            dtype=self.dtype, param_dtype=jnp.float32, name="upsample",
-        )(x)
-        x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv2")(x, train)
-        return HeadConv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+        if train or self.is_initializing():
+            x = nn.ConvTranspose(
+                self.npr, (2, 2), strides=(2, 2), use_bias=True,
+                dtype=self.dtype, param_dtype=jnp.float32, name="upsample",
+            )(x)
+            x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv2")(x, train)
+            return HeadConv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+        # eval fast path: upsample+cv2.conv composed at LOW resolution; BN,
+        # SiLU and the 1x1 cv3 are per-pixel, so they also run per-phase and
+        # the 2x pixel shuffle happens at nm (32) channels instead of 256
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+
+        def bn_silu(y, scope):
+            bn_p = p[scope]["ConvBN_0"]["BatchNorm_0"]
+            bn_s = st[scope]["ConvBN_0"]["BatchNorm_0"]
+            yf = (y.astype(jnp.float32) - bn_s["mean"]) * bn_p["scale"] * (
+                jax.lax.rsqrt(bn_s["var"] + BN_EPS_HEAD)
+            ) + bn_p["bias"]
+            return nn.silu(yf).astype(self.dtype)
+
+        phases = fused_upsample_conv3x3_phases(
+            x,
+            p["upsample"]["kernel"],
+            p["upsample"]["bias"],
+            p["cv2"]["ConvBN_0"]["Conv_0"]["kernel"],
+        )
+        k3 = p["cv3"]["ConvBN_0"]["Conv_0"]["kernel"].astype(self.dtype)
+        out_phases = {}
+        for key, y in phases.items():
+            z = bn_silu(y, "cv2")
+            z = jax.lax.conv_general_dilated(
+                z, k3, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out_phases[key] = bn_silu(z, "cv3")
+        return shuffle_phases(out_phases)
 
 
 class SegmentHead(nn.Module):

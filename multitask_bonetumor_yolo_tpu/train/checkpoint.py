@@ -15,7 +15,65 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
+
+_CONCAT_CACHE: Dict[Any, Any] = {}
+
+
+def _fetch_tree_batched(tree):
+    """Device tree -> host (numpy) tree via ONE device->host transfer per
+    dtype group instead of one per leaf.
+
+    The TPU relay in this environment adds a fixed ~29 ms round-trip to
+    EVERY fetch; a train state has ~1000 leaves (params + AdamW m/v), so
+    leaf-wise fetching costs ~30 s/checkpoint. Concatenating on device and
+    fetching once per dtype cuts the epoch's checkpoint phase from 33 s to
+    ~1 s (measured in the round-2 evidence run)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    by_dtype: Dict[Any, list] = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array) and leaf.size > 0:
+            by_dtype.setdefault(jnp.asarray(leaf).dtype, []).append(i)
+    host = list(leaves)
+
+    # one jitted dispatch for ALL groups (eager per-leaf ravels would pay
+    # the relay's dispatch cost ~500 times); the jitted fn is cached by the
+    # leaves' structure so repeated saves don't retrace
+    sig = tuple(
+        (tuple(leaf.shape), str(leaf.dtype)) if isinstance(leaf, jax.Array)
+        else None
+        for leaf in leaves
+    )
+    key = (treedef, sig)
+    fn = _CONCAT_CACHE.get(key)
+    if fn is None:
+        groups = tuple(tuple(idxs) for idxs in by_dtype.values())
+
+        @jax.jit
+        def fn(arrs):
+            return tuple(
+                jnp.concatenate([jnp.ravel(arrs[i]) for i in idxs])
+                for idxs in groups
+            )
+
+        _CONCAT_CACHE[key] = fn
+    arrays = {i: leaves[i] for idxs in by_dtype.values() for i in idxs}
+    flats = fn(arrays)
+    for (dtype, idxs), flat in zip(by_dtype.items(), flats):
+        buf = np.asarray(flat)  # ONE fetch for the whole group
+        off = 0
+        for i in idxs:
+            n = leaves[i].size
+            host[i] = buf[off : off + n].reshape(leaves[i].shape)
+            off += n
+    # remaining leaves (python scalars, 0-size, non-arrays) pass through,
+    # fetched individually (cheap: there are only a handful)
+    for i, leaf in enumerate(host):
+        if isinstance(leaf, jax.Array):
+            host[i] = np.asarray(leaf)
+    return jax.tree.unflatten(treedef, host)
 
 
 class CheckpointManager:
@@ -42,6 +100,18 @@ class CheckpointManager:
             "opt_state": state.opt_state,
         }
 
+    def qualifies(self, metric: Optional[float]) -> bool:
+        """Would ``metric`` enter the current top-K?"""
+        if metric is None:
+            return False
+        scored = [v["metric"] for v in self._index.values()
+                  if v["metric"] is not None]
+        if len(scored) < self.top_k:
+            return True
+        sign = 1.0 if self.mode == "max" else -1.0
+        worst = min(scored, key=lambda m: sign * m)
+        return sign * metric > sign * worst
+
     def save(self, state, step: int, metric: Optional[float] = None,
              epoch: Optional[int] = None) -> Path:
         """Save as step_{step}; prune to top-K by metric, always keeping the
@@ -50,7 +120,7 @@ class CheckpointManager:
         path = self.dir / name
         if path.exists():
             shutil.rmtree(path)
-        self._ckptr.save(path, self._tree(state))
+        self._ckptr.save(path, _fetch_tree_batched(self._tree(state)))
         self._ckptr.wait_until_finished()
         self._index[name] = {
             "step": step,

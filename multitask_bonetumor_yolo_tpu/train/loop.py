@@ -28,7 +28,7 @@ from ..metrics import (
     ClassificationMetrics,
     MeanAveragePrecision,
 )
-from ..metrics.segmentation import mask_map_inputs
+from ..metrics.segmentation import mask_map_inputs, mask_map_inputs_from_masks
 from ..models import ModelConfig
 from ..parallel import create_mesh, shard_batch
 from ..utils.logging import RunLogger
@@ -130,10 +130,17 @@ class ValidationMetrics:
         ).astype(bool)
         for k, v in metrics.items():
             self.losses.setdefault(k, []).append(float(v))
-        seg_prob = np.asarray(aux["seg_prob"])[sv]
         gt_mask = np.asarray(batch["mask"])[sv]
-        self.seg.update(seg_prob, gt_mask)
-        p, t = mask_map_inputs(seg_prob, gt_mask)
+        if "seg_counts" in aux:  # device-side summaries (eval step)
+            self.seg.update_counts(np.asarray(aux["seg_counts"])[sv])
+            p, t = mask_map_inputs_from_masks(
+                np.asarray(aux["seg_mask"])[sv],
+                np.asarray(aux["seg_score"])[sv], gt_mask,
+            )
+        else:
+            seg_prob = np.asarray(aux["seg_prob"])[sv]
+            self.seg.update(seg_prob, gt_mask)
+            p, t = mask_map_inputs(seg_prob, gt_mask)
         self.seg_map.update(p, t)
         self.cls.update(
             np.asarray(aux["cls_logits"])[sv], np.asarray(batch["img_cls"])[sv]
@@ -243,6 +250,17 @@ class Trainer:
                       "starting fresh")
             else:
                 self.state = self.ckpt.restore(self.state, path)
+                # restored arrays are committed to one device; re-replicate
+                # over the mesh so they compose with data-sharded batches
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                self.state = self.state.replace(
+                    step=jax.device_put(self.state.step, rep),
+                    params=jax.device_put(self.state.params, rep),
+                    batch_stats=jax.device_put(self.state.batch_stats, rep),
+                    opt_state=jax.device_put(self.state.opt_state, rep),
+                )
                 print(f"[trainer] resumed from step {int(self.state.step)}")
 
     # ------------------------------------------------------------------
@@ -275,7 +293,9 @@ class Trainer:
                 self.train_ds, self.global_batch, shuffle=True,
                 drop_last=True, seed=self.train_cfg.seed + epoch,
             )
-            it = iter(Prefetcher(loader))
+            it = iter(Prefetcher(
+                loader, map_fn=lambda b: shard_batch(b, self.mesh)
+            ))
             aux, last_batch = None, None
             while True:
                 with timer.phase("data"):
@@ -285,9 +305,8 @@ class Trainer:
                 last_batch = batch
                 self.rng, step_rng = jax.random.split(self.rng)
                 with timer.phase("train_step"), annotate("train_step"):
-                    sharded = shard_batch(batch, self.mesh)
                     self.state, metrics, aux = self.train_step(
-                        self.state, sharded, step_rng
+                        self.state, batch, step_rng
                     )
                 global_step += 1
                 if global_step % cfg.log_every == 0:
@@ -319,10 +338,19 @@ class Trainer:
             with timer.phase("validate"), annotate("validate"):
                 val = self.validate(epoch, global_step)
             map50 = val.get("map_iou50_map", -1.0)
+            # save when the metric enters the top-K (reference
+            # ModelCheckpoint semantics) or on the throttled 'last' cadence
+            # -- a full save costs ~35 s over the relay (see checkpoint.py)
+            want_save = (
+                self.ckpt.qualifies(map50)
+                or epoch % max(1, self.train_cfg.save_last_every) == 0
+                or epoch == epochs - 1
+            )
             with timer.phase("checkpoint"):
-                self.ckpt.save(
-                    self.state, global_step, metric=map50, epoch=epoch
-                )
+                if want_save:
+                    self.ckpt.save(
+                        self.state, global_step, metric=map50, epoch=epoch
+                    )
             self.logger.log(
                 {
                     "epoch": epoch,
@@ -346,8 +374,9 @@ class Trainer:
         vm = ValidationMetrics(cfg)
         loader = BTXRDLoader(self.val_ds, self.global_batch, pad_last=True)
         first = True
-        for batch in Prefetcher(loader):
-            sharded = shard_batch(batch, self.mesh)
+        for batch, sharded in Prefetcher(
+            loader, map_fn=lambda b: (b, shard_batch(b, self.mesh))
+        ):
             metrics, aux = self.eval_step(self.state, sharded)
             vm.update(metrics, aux, batch)
             if first and epoch % cfg.viz_every_epochs == 0:

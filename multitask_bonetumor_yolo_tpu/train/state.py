@@ -34,6 +34,11 @@ class TrainConfig:
     map_full_freq: int = 5  # epochs between full mAP50-95 computes
     ckpt_dir: str = "checkpoints"
     ckpt_top_k: int = 2
+    # epochs between unconditional 'last' saves; top-K-qualifying metrics
+    # always save immediately. The reference's Lightning stack writes
+    # last.ckpt every epoch to fast local disk; here a full state transfer
+    # rides the TPU relay at ~9 MB/s (~35 s), so 'last' is throttled.
+    save_last_every: int = 5
     eval_conf_thresh: float = 0.05
     eval_nms_iou: float = 0.6
     eval_top_k: int = 100

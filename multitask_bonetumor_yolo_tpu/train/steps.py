@@ -119,12 +119,34 @@ def make_eval_step(
             "loss_total": lo.total,
             **{f"loss_{k}": v for k, v in lo.components.items()},
         }
+        # segmentation summaries computed ON DEVICE so validation fetches
+        # bools/scalars, not the [B,S,S] fp32 probability map — the relay's
+        # ~9 MB/s device->host path made seg_prob the validate bottleneck.
+        # seg_prob stays in aux for viz; jax arrays only transfer when read.
+        prob = jax.nn.sigmoid(out["seg_logits"])[..., 0]
+        pm = prob > 0.5
+        pos = batch["mask"][..., 0] > 0.5
+        counts = jnp.stack(
+            [
+                jnp.sum(pm & pos, axis=(1, 2)),
+                jnp.sum(pm & ~pos, axis=(1, 2)),
+                jnp.sum(~pm & pos, axis=(1, 2)),
+                jnp.sum(~pm & ~pos, axis=(1, 2)),
+            ],
+            axis=-1,
+        )  # [B, 4] tp/fp/fn/tn
+        score = jnp.sum(prob * pm, axis=(1, 2)) / (
+            jnp.sum(pm, axis=(1, 2)) + 1e-6
+        )
         aux = {
             "nms_boxes": nms.boxes,
             "nms_scores": nms.scores,
             "nms_labels": nms.labels,
             "nms_valid": nms.valid,
-            "seg_prob": jax.nn.sigmoid(out["seg_logits"]),
+            "seg_prob": prob[..., None],
+            "seg_mask": pm,
+            "seg_score": score,
+            "seg_counts": counts,
             "cls_logits": out["cls_logits"],
             "cm_mask": lo.matched_mask,
             "cm_pred": lo.matched_pred_cls,

@@ -52,8 +52,10 @@ def synth_root(tmp_path_factory):
 def cfg(synth_root):
     return ExperimentConfig(
         model=ModelConfig(img_size=IMG, single_head=True, nc_det=2, nc_img=2),
+        # batch_size is PER-DEVICE (global = x8 on the virtual mesh);
+        # 1 keeps the 38-image train split yielding full global batches
         data=DataConfig(root=str(synth_root), img_size=IMG, max_boxes=8,
-                        batch_size=8),
+                        batch_size=1),
         loss=LossConfig(img_size=IMG, nc_det=2, iou_match_thresh=0.15),
         train=TrainConfig(lr=3e-4, max_epochs=3, early_stop_patience=100,
                           seed=0, eval_top_k=50),
