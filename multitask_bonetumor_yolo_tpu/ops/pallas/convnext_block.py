@@ -41,6 +41,11 @@ so training gets the fused forward with exact XLA gradients.
 from __future__ import annotations
 
 import functools
+import os
+
+# experimentation hook for scripts/kernel_lab.py rc/nsplit sweeps (read once
+# at import; 0 = automatic choice)
+_NSPLIT_OVERRIDE = int(os.environ.get("CNB_NSPLIT", "0"))
 
 
 import jax
@@ -371,7 +376,9 @@ def _forward_padded(
     w2p = jnp.pad(w2f.astype(x_pad.dtype), ((0, 0), (0, cpad - c)))
 
     total = b * nrows
-    nsplit = 2 if (rc % 2 == 0 and rc >= 8) else 1
+    nsplit = _NSPLIT_OVERRIDE or (2 if (rc % 2 == 0 and rc >= 8) else 1)
+    if rc % nsplit:
+        nsplit = 1
     kern = functools.partial(
         _kernel, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, nsplit=nsplit,
         eps=eps,

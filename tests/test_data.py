@@ -190,3 +190,41 @@ def test_converter_seg_polygons(tmp_path):
     # class id + 4 polygon points (x, y) normalised
     assert len(line) == 1 + 8
     assert all(0.0 <= float(v) <= 1.0 for v in line[1:])
+
+
+def test_prefetcher_basic_and_map_fn():
+    from multitask_bonetumor_yolo_tpu.data.dataset import Prefetcher
+
+    items = list(range(7))
+    assert list(Prefetcher(iter(items))) == items
+    # map_fn runs in the worker thread and transforms each item
+    assert list(Prefetcher(iter(items), map_fn=lambda x: x * 10)) == [
+        x * 10 for x in items
+    ]
+
+
+def test_prefetcher_propagates_worker_error():
+    from multitask_bonetumor_yolo_tpu.data.dataset import Prefetcher
+
+    def gen():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = iter(Prefetcher(gen()))
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_prefetcher_map_fn_error_propagates():
+    from multitask_bonetumor_yolo_tpu.data.dataset import Prefetcher
+
+    def bad(x):
+        raise ValueError("mapfail")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mapfail"):
+        list(Prefetcher(iter([1]), map_fn=bad))
