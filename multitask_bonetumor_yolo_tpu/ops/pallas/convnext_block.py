@@ -33,9 +33,11 @@ Performance notes (round-2 v4 rewrite; measured numbers in BASELINE.md):
 Grid: flattened (B * H/RC,).  BlockSpec blocks cannot overlap, so the
 +-3-row halo window is DMA'd manually from HBM.
 
-The wrapper is a ``jax.custom_vjp``: forward = this kernel, backward = the
-VJP of the numerically-identical pure-jnp reference (``convnext_block_ref``),
-so training gets the fused forward with exact XLA gradients.
+The wrapper is a ``jax.custom_vjp``: forward = this kernel; backward = the
+VJP of the numerically-identical pure-jnp reference (``convnext_block_ref``)
+by default. An explicit backward whose two depthwise convolutions run as the
+Pallas ``dwconv7`` kernel exists behind ``CNB_EXPLICIT_BWD=1`` — it wins in
+isolation but loses in the full train step (see ``_bwd_padded``).
 """
 
 from __future__ import annotations
@@ -43,9 +45,9 @@ from __future__ import annotations
 import functools
 import os
 
-# experimentation hook for scripts/kernel_lab.py rc/nsplit sweeps (read once
-# at import; 0 = automatic choice)
+# experimentation hooks (read once at import; defaults = production choice)
 _NSPLIT_OVERRIDE = int(os.environ.get("CNB_NSPLIT", "0"))
+_EXPLICIT_BWD = bool(os.environ.get("CNB_EXPLICIT_BWD", ""))
 
 
 import jax
@@ -420,13 +422,6 @@ def _forward_padded(
     return out
 
 
-def _padded_ref(x_pad, *args, w: int, c: int, eps: float):
-    """Numerically-identical XLA path on the padded layout (backward + CPU)."""
-    x = unpad_from_blocks(x_pad, w, c)
-    y = convnext_block_ref(x, *args, eps=eps)
-    return pad_for_blocks(y)
-
-
 def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
                 gamma, w, c, eps, interpret, row_chunk):
     out = _forward_padded(
@@ -438,10 +433,121 @@ def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
 
 
 def _bwd_padded(w, c, eps, interpret, row_chunk, residuals, g):
-    _, vjp = jax.vjp(
-        lambda *a: _padded_ref(*a, w=w, c=c, eps=eps), *residuals
+    """Explicit backward: the depthwise convs (forward-y recompute and the
+    input-gradient correlation) run as the Pallas dwconv kernel — XLA's
+    depthwise lowering is the slow piece of a vjp-of-reference backward —
+    while the LN/MLP chain is plain XLA (matmuls/elementwise, already
+    fast). Numerics match jax.vjp of ``convnext_block_ref`` (verified by
+    tests/test_pallas_convnext.py::test_kernel_gradients_match_reference)."""
+    from .dwconv import dwconv7
+
+    if not _EXPLICIT_BWD:
+        # Default: vjp of the XLA reference. The explicit path below beats
+        # it measured in ISOLATION (5.2 vs 7.7 ms for a stage-0 block's
+        # fwd+bwd at batch 8), but in the FULL train step the extra
+        # pallas_call boundaries break XLA's fusion of the surrounding
+        # backward graph and the step gets 20% slower (129.8 vs 108.7 ms);
+        # revisit with a fully-fused backward kernel.
+        def _ref(x_p, *a):
+            return pad_for_blocks(
+                convnext_block_ref(unpad_from_blocks(x_p, w, c), *a, eps=eps)
+            )
+
+        _, vjp = jax.vjp(_ref, *residuals)
+        return vjp(g)
+
+    (x_pad, dw_kernel, dw_bias, ln_scale, ln_bias,
+     w1, b1, w2, b2, gamma) = residuals
+    f32 = jnp.float32
+    dt = x_pad.dtype
+    x = unpad_from_blocks(x_pad, w, c)
+    gy = unpad_from_blocks(g, w, c).astype(f32)  # halo cotangents are dead
+
+    def tsum(t):  # reduce over batch+spatial tokens
+        return t.sum((0, 1, 2))
+
+    def flat(t):
+        return t.reshape(-1, t.shape[-1])
+
+    # ---- forward recompute (dtype flow mirrors convnext_block_ref) ----
+    k77 = dw_kernel[:, :, 0, :]
+    y = (
+        dwconv7(x, k77.astype(dt).astype(f32), interpret=interpret)
+        .astype(dt)
+        + dw_bias.astype(dt)
+    ).astype(f32)
+    mean = y.mean(-1, keepdims=True)
+    var = ((y - mean) ** 2).mean(-1, keepdims=True)
+    r = lax.rsqrt(var + eps)
+    z = (y - mean) * r
+    z2d = (z * ln_scale + ln_bias).astype(dt)  # what fc1 consumed
+    hm = jnp.dot(z2d, w1.astype(dt), preferred_element_type=f32) + b1
+    a = jax.nn.gelu(hm, approximate=False)
+    ad = a.astype(dt)
+    o = jnp.dot(ad, w2.astype(dt), preferred_element_type=f32) + b2
+
+    # ---- backward chain ----
+    d_gamma = tsum(gy * o)
+    do = gy * gamma
+    d_b2 = tsum(do)
+    d_w2 = flat(ad).astype(f32).T @ flat(do)
+    d_a = jnp.dot(
+        do.astype(dt), w2.astype(dt).T, preferred_element_type=f32
     )
-    return vjp(g)
+    # exact-GELU derivative: Phi(h) + h * phi(h)
+    inv_sqrt2 = 0.7071067811865476
+    inv_sqrt2pi = 0.3989422804014327
+    cdf = 0.5 * (1.0 + lax.erf(hm * inv_sqrt2))
+    pdf = inv_sqrt2pi * jnp.exp(-0.5 * hm * hm)
+    d_h = d_a * (cdf + hm * pdf)
+    d_b1 = tsum(d_h)
+    d_w1 = flat(z2d).astype(f32).T @ flat(d_h)
+    d_z2 = jnp.dot(
+        d_h.astype(dt), w1.astype(dt).T, preferred_element_type=f32
+    )
+    d_lns = tsum(d_z2 * z)
+    d_lnb = tsum(d_z2)
+    d_z = d_z2 * ln_scale
+    m1 = d_z.mean(-1, keepdims=True)
+    m2 = (d_z * z).mean(-1, keepdims=True)
+    d_y = r * (d_z - m1 - z * m2)
+    d_dwb = tsum(d_y)
+    # input gradient: correlation == dwconv with the spatially-flipped taps
+    kf = k77[::-1, ::-1, :]
+    d_x = (
+        dwconv7(d_y.astype(dt), kf.astype(dt).astype(f32),
+                interpret=interpret).astype(dt)
+        + gy.astype(dt)  # residual branch
+    )
+    # filter gradient: dK[dy,dx,c] = sum_p x[p-3+dy]*d_y[p]
+    hgt = x.shape[1]
+    xp = jnp.pad(x.astype(f32), ((0, 0), (3, 3), (3, 3), (0, 0)))
+    d_k = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    tsum(xp[:, dy : dy + hgt, dx : dx + w, :] * d_y)
+                    for dx in range(7)
+                ],
+                0,
+            )
+            for dy in range(7)
+        ],
+        0,
+    )[:, :, None, :]  # [7, 7, 1, C]
+
+    return (
+        pad_for_blocks(d_x),
+        d_k.astype(dw_kernel.dtype),
+        d_dwb.astype(dw_bias.dtype),
+        d_lns.astype(ln_scale.dtype),
+        d_lnb.astype(ln_bias.dtype),
+        d_w1.astype(w1.dtype),
+        d_b1.astype(b1.dtype),
+        d_w2.astype(w2.dtype),
+        d_b2.astype(b2.dtype),
+        d_gamma.astype(gamma.dtype),
+    )
 
 
 convnext_block_padded.defvjp(_fwd_padded, _bwd_padded)

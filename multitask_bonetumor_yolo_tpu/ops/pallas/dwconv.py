@@ -1,0 +1,187 @@
+"""Standalone depthwise 7x7 convolution (stride 1, SAME) as a Pallas kernel.
+
+Used by the ConvNeXt block's explicit backward pass (ops/pallas/
+convnext_block.py::_bwd_padded), which needs two depthwise convs — the
+forward recompute of y and the input-gradient correlation with the flipped
+kernel — where XLA's depthwise lowering is ~2.3x slower than this direct
+49-tap row-expression form (measured stage-0 640²: 7.0 vs 3.1 ms for the
+whole fused block, dwconv-dominated).
+
+Same structure as the fused block kernel: clamped manual halo DMA over a
+flattened (B * H/RC) grid, double-buffered slab, hoisted W-shifts, one
+49-term FMA expression per output row, fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    x_hbm,  # [B, H, wpad, cpad] ANY/HBM
+    dw_ref,  # [8, 8, Cp] VMEM fp32
+    out_ref,  # [1, RC, wpad, Cp]
+    slab,  # [2, RC+6, wpad, Cp]
+    sem,
+    *,
+    rc: int,
+    w: int,
+    nrows: int,
+):
+    g = pl.program_id(0)
+    total = pl.num_programs(0)
+    h = nrows * rc
+
+    def _cases(gi):
+        bi = gi // nrows
+        slot = gi % 2
+        if nrows == 1:
+            yield None, lambda: pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(0, rc)],
+                slab.at[slot, pl.ds(3, rc)],
+                sem.at[slot],
+            )
+            return
+        ri = gi % nrows
+        yield ri == 0, lambda: pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(0, rc + 3)],
+            slab.at[slot, pl.ds(3, rc + 3)],
+            sem.at[slot],
+        )
+        yield ri == nrows - 1, lambda: pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(h - (rc + 3), rc + 3)],
+            slab.at[slot, pl.ds(0, rc + 3)],
+            sem.at[slot],
+        )
+        if nrows > 2:
+            yield (ri > 0) & (ri < nrows - 1), lambda: pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(jnp.clip(ri * rc - 3, 0, h - (rc + 6)),
+                                   rc + 6)],
+                slab.at[slot, pl.ds(0, rc + 6)],
+                sem.at[slot],
+            )
+
+    def start_dma(gi):
+        for cond, mk in _cases(gi):
+            if cond is None:
+                mk().start()
+            else:
+                pl.when(cond)(lambda mk=mk: mk().start())
+
+    def wait_dma(gi):
+        for cond, mk in _cases(gi):
+            if cond is None:
+                mk().wait()
+            else:
+                pl.when(cond)(lambda mk=mk: mk().wait())
+
+    @pl.when(g == 0)
+    def _():
+        start_dma(0)
+
+    @pl.when(g + 1 < total)
+    def _():
+        start_dma(g + 1)
+
+    wait_dma(g)
+    slot = g % 2
+    ri = g % nrows
+    if nrows == 1:
+        slab[slot, 0:3] = jnp.zeros((3,) + slab.shape[2:], slab.dtype)
+        slab[slot, rc + 3 : rc + 6] = jnp.zeros(
+            (3,) + slab.shape[2:], slab.dtype
+        )
+    else:
+        @pl.when(ri == 0)
+        def _():
+            slab[slot, 0:3] = jnp.zeros((3,) + slab.shape[2:], slab.dtype)
+
+        @pl.when(ri == nrows - 1)
+        def _():
+            slab[slot, rc + 3 : rc + 6] = jnp.zeros(
+                (3,) + slab.shape[2:], slab.dtype
+            )
+
+    s = slab[slot]
+    wpad = out_ref.shape[2]
+    rows_out = [
+        sum(
+            s[rr + dy, dx : dx + w, :].astype(jnp.float32)
+            * dw_ref[dy, dx, :]
+            for dy in range(7)
+            for dx in range(7)
+        )[None]
+        for rr in range(rc)
+    ]
+    y = jnp.concatenate(rows_out, axis=0)
+    out_ref[0] = jnp.pad(
+        y, ((0, 0), (3, wpad - w - 3), (0, 0))
+    ).astype(out_ref.dtype)
+
+
+def _pick_rc(h: int, w: int, c: int, bytes_in: int) -> int:
+    budget = 10 * 1024 * 1024
+    cpad = -(-c // 128) * 128
+    wpad = -(-(w + 6) // 8) * 8
+
+    def vmem(rc):
+        return (
+            2 * (rc + 6) * wpad * cpad * bytes_in
+            + rc * w * cpad * 4
+            + 2 * rc * wpad * cpad * 4
+        )
+
+    correct = [rc for rc in range(1, h + 1)
+               if h % rc == 0 and (h // rc <= 2 or rc >= 3)]
+    fitting = [rc for rc in correct if vmem(rc) < budget]
+    return max(fitting) if fitting else min(correct, key=vmem)
+
+
+def dwconv7(
+    x: jnp.ndarray,  # [B, H, W, C] any float dtype
+    kernel: jnp.ndarray,  # [7, 7, C] fp32 (per-channel taps)
+    interpret: bool = False,
+) -> jnp.ndarray:  # [B, H, W, C] fp32
+    """Depthwise 7x7, stride 1, SAME padding, fp32 accumulation.
+
+    Equivalent to ``lax.conv_general_dilated(x, kernel[...,None,:],
+    feature_group_count=C)`` but ~2.3x faster on TPU."""
+    b, h, w, c = x.shape
+    wpad = -(-(w + 6) // 8) * 8
+    cpad = -(-c // 128) * 128
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (3, wpad - w - 3), (0, cpad - c)))
+    dw = jnp.pad(
+        kernel.astype(jnp.float32), ((0, 1), (0, 1), (0, cpad - c))
+    )
+    rc = _pick_rc(h, w, c, x.dtype.itemsize)
+    nrows = h // rc
+    out = pl.pallas_call(
+        functools.partial(_kernel, rc=rc, w=w, nrows=nrows),
+        out_shape=jax.ShapeDtypeStruct((b, h, wpad, cpad), jnp.float32),
+        grid=(b * nrows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rc, wpad, cpad),
+            lambda g: (g // nrows, g % nrows, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rc + 6, wpad, cpad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * c * 49,
+            bytes_accessed=b * h * wpad * cpad * (x.dtype.itemsize + 4),
+            transcendentals=0,
+        ),
+    )(x_pad, dw)
+    return out[:, :, 3 : 3 + w, :c]

@@ -109,3 +109,16 @@ def test_backbone_pallas_flag_structure(rng):
     }
     out_off = off.apply(vars_, x)
     assert out_off.shape == x.shape
+
+
+def test_dwconv7_matches_lax(rng):
+    from multitask_bonetumor_yolo_tpu.ops.pallas.dwconv import dwconv7
+
+    x = jnp.asarray(rng.randn(2, 12, 20, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(7, 7, 16).astype(np.float32) * 0.1)
+    got = dwconv7(x, k, interpret=True)
+    want = jax.lax.conv_general_dilated(
+        x, k[:, :, None, :], (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=16,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
