@@ -146,6 +146,7 @@ def dwconv7(
     x: jnp.ndarray,  # [B, H, W, C] any float dtype
     kernel: jnp.ndarray,  # [7, 7, C] fp32 (per-channel taps)
     interpret: bool = False,
+    row_chunk: int = 0,  # 0 = auto (tests force small values)
 ) -> jnp.ndarray:  # [B, H, W, C] fp32
     """Depthwise 7x7, stride 1, SAME padding, fp32 accumulation.
 
@@ -158,7 +159,8 @@ def dwconv7(
     dw = jnp.pad(
         kernel.astype(jnp.float32), ((0, 1), (0, 1), (0, cpad - c))
     )
-    rc = _pick_rc(h, w, c, x.dtype.itemsize)
+    rc = row_chunk or _pick_rc(h, w, c, x.dtype.itemsize)
+    assert h % rc == 0 and (h // rc <= 2 or rc >= 3), (h, rc)
     nrows = h // rc
     out = pl.pallas_call(
         functools.partial(_kernel, rc=rc, w=w, nrows=nrows),

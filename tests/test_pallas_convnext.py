@@ -122,3 +122,18 @@ def test_dwconv7_matches_lax(rng):
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=16,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_dwconv7_multichunk_matches_lax(rng):
+    from multitask_bonetumor_yolo_tpu.ops.pallas.dwconv import dwconv7
+
+    x = jnp.asarray(rng.randn(2, 16, 8, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(7, 7, 16).astype(np.float32) * 0.1)
+    want = jax.lax.conv_general_dilated(
+        x, k[:, :, None, :], (1, 1), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=16,
+    )
+    for rc in (4, 8):  # first/interior/last clamp cases + two-chunk case
+        got = dwconv7(x, k, interpret=True, row_chunk=rc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
