@@ -187,6 +187,63 @@ def bench_preprocess(batch: int, img: int, iters: int):
     return batch / ms * 1000.0, ms
 
 
+def bench_eval_pipeline(batch: int, img: int, n_images: int = 64):
+    """End-to-end offline-eval throughput (BASELINE.json config 5): data
+    loading + jitted eval step + host metric accumulation + final
+    mAP/Dice compute, wall-clock, on a synthetic split with a random-init
+    model (no trained checkpoint exists at bench time; a trained model
+    changes only the NMS candidate count)."""
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from multitask_bonetumor_yolo_tpu.data import BTXRD, BTXRDLoader, DataConfig
+    from multitask_bonetumor_yolo_tpu.data.dataset import Prefetcher
+    from multitask_bonetumor_yolo_tpu.data.synthetic import make_synthetic_btxrd
+    from multitask_bonetumor_yolo_tpu.losses import LossConfig
+    from multitask_bonetumor_yolo_tpu.models import ModelConfig
+    from multitask_bonetumor_yolo_tpu.train import (
+        TrainConfig, create_train_state, make_eval_step,
+    )
+    from multitask_bonetumor_yolo_tpu.train.loop import (
+        ExperimentConfig, ValidationMetrics,
+    )
+
+    root = tempfile.mkdtemp()
+    make_synthetic_btxrd(root, n=n_images, seed=9)
+    model_cfg = ModelConfig(img_size=img, dtype="bfloat16")
+    data_cfg = DataConfig(root=root, img_size=img, batch_size=batch)
+    loss_cfg = LossConfig(img_size=img)
+    train_cfg = TrainConfig()
+    state = create_train_state(model_cfg, train_cfg)
+    eval_step = make_eval_step(model_cfg, loss_cfg, train_cfg)
+    ds = BTXRD(data_cfg, "all")
+    exp = ExperimentConfig(model=model_cfg, data=data_cfg, loss=loss_cfg,
+                           train=train_cfg, run_dir="")
+
+    def run_epoch():
+        vm = ValidationMetrics(exp)
+        loader = BTXRDLoader(ds, batch, pad_last=True)
+        n = 0
+        for b, jb in Prefetcher(
+            loader,
+            map_fn=lambda bt: (bt, {k: jnp.asarray(v) for k, v in bt.items()}),
+        ):
+            m, aux = eval_step(state, jb)
+            vm.update(m, aux, b)
+            n += int(np.asarray(b["sample_valid"]).sum()) if "sample_valid" in b else len(b["img_cls"])
+        vm.compute(full_map=True)
+        return n
+
+    run_epoch()  # compile + warm
+    t0 = _time.perf_counter()
+    n = run_epoch()
+    dt = _time.perf_counter() - t0
+    return n / dt, dt * 1000.0
+
+
 def main():
     from multitask_bonetumor_yolo_tpu.utils.cache import enable_compilation_cache
 
@@ -210,6 +267,7 @@ def main():
         s_ips, s_ms = bench_multitask_inference(1, args.img, args.iters)
         t_ips, t_ms = bench_train_step(8, args.img, max(5, args.iters // 2))
         p_ips, p_ms = bench_preprocess(args.batch, args.img, args.iters)
+        e_ips, e_ms = bench_eval_pipeline(args.batch, args.img)
         result["extra"].update(
             single_image_ips=round(s_ips, 2),
             single_image_p50_ms=round(s_ms, 2),
@@ -217,6 +275,8 @@ def main():
             train_step_ms=round(t_ms, 2),
             preprocess_ips=round(p_ips, 2),
             preprocess_ms=round(p_ms, 3),
+            eval_pipeline_ips=round(e_ips, 2),
+            eval_pipeline_epoch_ms=round(e_ms, 1),
         )
     print(json.dumps(result))
 

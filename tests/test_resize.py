@@ -40,3 +40,19 @@ def test_bilinear_160_to_640_matches_torch(rng):
 def test_nearest_shape(rng):
     x = rng.randn(1, 10, 10, 3).astype(np.float32)
     assert resize_nearest(jnp.asarray(x), 30, 30).shape == (1, 30, 30, 3)
+
+
+def test_up2x_fast_path_matches_jax_image(rng):
+    import jax
+    x = jnp.asarray(rng.rand(2, 7, 9, 3).astype(np.float32))
+    got = resize_bilinear(x, 14, 18)
+    want = jax.image.resize(x, (2, 14, 18, 3), "bilinear", antialias=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_down2x_fast_path_matches_jax_image(rng):
+    import jax
+    x = jnp.asarray(rng.rand(2, 8, 12, 3).astype(np.float32))
+    got = resize_bilinear(x, 4, 6)
+    want = jax.image.resize(x, (2, 4, 6, 3), "bilinear", antialias=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
