@@ -48,6 +48,7 @@ import os
 # experimentation hooks (read once at import; defaults = production choice)
 _NSPLIT_OVERRIDE = int(os.environ.get("CNB_NSPLIT", "0"))
 _EXPLICIT_BWD = bool(os.environ.get("CNB_EXPLICIT_BWD", ""))
+_FUSED_BWD = bool(os.environ.get("CNB_FUSED_BWD", ""))
 
 
 import jax
@@ -440,6 +441,14 @@ def _bwd_padded(w, c, eps, interpret, row_chunk, residuals, g):
     fast). Numerics match jax.vjp of ``convnext_block_ref`` (verified by
     tests/test_pallas_convnext.py::test_kernel_gradients_match_reference)."""
     from .dwconv import dwconv7
+
+    if _FUSED_BWD:
+        from .convnext_block_bwd import fused_block_bwd
+
+        return fused_block_bwd(
+            *residuals[:1], g, *residuals[1:], w=w, c=c, eps=eps,
+            interpret=interpret,
+        )
 
     if not _EXPLICIT_BWD:
         # Default: vjp of the XLA reference. The explicit path below beats

@@ -1,0 +1,395 @@
+"""Fully-fused ConvNeXt block backward as ONE Pallas TPU kernel.
+
+Motivation (measured, see BASELINE.md): the default backward (vjp of the
+XLA reference) re-runs XLA's slow depthwise lowering; a hybrid backward
+that offloaded just the depthwise convs to Pallas won in isolation but
+LOST in the full train step because the pallas_call boundaries broke XLA's
+fusion of the surrounding backward graph. This kernel removes the
+boundaries entirely: per row-chunk it recomputes the forward (dwconv + LN
++ MLP), runs the whole gradient chain, writes the input gradient, and
+accumulates all nine parameter gradients in revisited output blocks — one
+HBM read of x and g, one write of dx, per block backward.
+
+Grid: flattened (B * H/RC,), sequential (the parameter-gradient blocks are
+accumulated across steps; their index maps are constant so Mosaic keeps
+them VMEM-resident and flushes once at the end).
+
+Halo structure: the input-gradient correlation at chunk rows needs dy over
+chunk±3, and recomputing y at chunk±3 needs x over chunk±6 — so the x slab
+carries a ±6-row halo (interior chunks therefore require rc >= 6) and the
+g slab ±3. W-halo and channel-pad lanes are provably inert: g's halo
+columns are zero (the chained-layout invariant), the folded weights' pad
+rows/columns are zero, and the dwconv taps' pad lanes are zero, so garbage
+never reaches a real output (asserted against jax.vjp of the reference in
+tests/test_pallas_convnext.py).
+
+GELU: the derivative uses the tanh form (matching the fused FORWARD
+kernel's activation; Pallas cannot lower erf) — deviation from the exact
+erf derivative is ~1e-3 absolute, inside the existing bf16-level gradient
+test tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    x_hbm,  # [B, H, wpad, cpad] ANY (padded chained layout)
+    g_hbm,  # [B, H, wpad, cpad] ANY (cotangent, same layout)
+    dw_ref,  # [8, 8, Cp] fp32 (7x7 taps padded; pad taps/lanes zero)
+    dwb_ref,  # [1, Cp]
+    lns_ref,  # [1, Cp]
+    lnb_ref,  # [1, Cp]
+    w1_ref,  # [Cp, 4C] compute dtype (pad rows zero)
+    b1_ref,  # [1, 4C]
+    w2_ref,  # [4C, Cp] compute dtype (pad cols zero)
+    b2_ref,  # [1, Cp]
+    gam_ref,  # [1, Cp]
+    dx_ref,  # out [1, RC, wpad, Cp] compute dtype
+    ddw_ref,  # out [8, 8, Cp] fp32 (accumulated)
+    ddwb_ref,  # out [1, Cp]
+    dlns_ref,  # out [1, Cp]
+    dlnb_ref,  # out [1, Cp]
+    dw1_ref,  # out [Cp, 4C] fp32
+    db1_ref,  # out [1, 4C]
+    dw2_ref,  # out [4C, Cp] fp32
+    db2_ref,  # out [1, Cp]
+    dgam_ref,  # out [1, Cp]
+    xslab,  # scratch [2, RC+12, wpad, Cp] compute dtype
+    gslab,  # scratch [2, RC+6, wpad, Cp] compute dtype
+    xsem,
+    gsem,
+    *,
+    rc: int,
+    w: int,
+    c: int,
+    cpad: int,
+    nrows: int,
+    eps: float,
+):
+    g = pl.program_id(0)
+    total = pl.num_programs(0)
+    h = nrows * rc
+    f32 = jnp.float32
+
+    def _cases(gi, hbm, slab, sem, halo):
+        bi = gi // nrows
+        slot = gi % 2
+        if nrows == 1:
+            yield None, lambda: pltpu.make_async_copy(
+                hbm.at[bi, pl.ds(0, rc)],
+                slab.at[slot, pl.ds(halo, rc)],
+                sem.at[slot],
+            )
+            return
+        ri = gi % nrows
+        yield ri == 0, lambda: pltpu.make_async_copy(
+            hbm.at[bi, pl.ds(0, rc + halo)],
+            slab.at[slot, pl.ds(halo, rc + halo)],
+            sem.at[slot],
+        )
+        yield ri == nrows - 1, lambda: pltpu.make_async_copy(
+            hbm.at[bi, pl.ds(h - (rc + halo), rc + halo)],
+            slab.at[slot, pl.ds(0, rc + halo)],
+            sem.at[slot],
+        )
+        if nrows > 2:
+            yield (ri > 0) & (ri < nrows - 1), lambda: pltpu.make_async_copy(
+                hbm.at[bi, pl.ds(
+                    jnp.clip(ri * rc - halo, 0, h - (rc + 2 * halo)),
+                    rc + 2 * halo,
+                )],
+                slab.at[slot, pl.ds(0, rc + 2 * halo)],
+                sem.at[slot],
+            )
+
+    def dma(gi, op):
+        for args in ((x_hbm, xslab, xsem, 6), (g_hbm, gslab, gsem, 3)):
+            for cond, mk in _cases(gi, *args):
+                if cond is None:
+                    getattr(mk(), op)()
+                else:
+                    pl.when(cond)(lambda mk=mk, op=op: getattr(mk(), op)())
+
+    @pl.when(g == 0)
+    def _():
+        dma(0, "start")
+
+    @pl.when(g + 1 < total)
+    def _():
+        dma(g + 1, "start")
+
+    dma(g, "wait")
+
+    slot = g % 2
+    ri = g % nrows
+
+    def zero_halo(slab, halo, n):
+        if nrows == 1:
+            slab[slot, 0:halo] = jnp.zeros((halo,) + slab.shape[2:], slab.dtype)
+            slab[slot, rc + halo : rc + 2 * halo] = jnp.zeros(
+                (halo,) + slab.shape[2:], slab.dtype
+            )
+        else:
+            @pl.when(ri == 0)
+            def _():
+                slab[slot, 0:halo] = jnp.zeros(
+                    (halo,) + slab.shape[2:], slab.dtype
+                )
+
+            @pl.when(ri == nrows - 1)
+            def _():
+                slab[slot, rc + halo : rc + 2 * halo] = jnp.zeros(
+                    (halo,) + slab.shape[2:], slab.dtype
+                )
+
+    zero_halo(xslab, 6, rc + 12)
+    zero_halo(gslab, 3, rc + 6)
+
+    xs = xslab[slot]  # [rc+12, wpad, cpad]
+    gs = gslab[slot]  # [rc+6, wpad, cpad]
+    dt = xslab.dtype
+    wpad = dx_ref.shape[2]
+    next_ = rc + 6  # rows of the extended (chunk+-3) working set
+
+    # ---- forward recompute: y_ext at rows chunk-3 .. chunk+rc+3 ----
+    # y_ext row m (global chunk_start-3+m) reads x slab rows m..m+6
+    rows_y = [
+        (
+            dwb_ref[0, :]
+            + sum(
+                xs[m + dy, dx : dx + w, :].astype(f32) * dw_ref[dy, dx, :]
+                for dy in range(7)
+                for dx in range(7)
+            )
+        )[None]
+        for m in range(next_)
+    ]
+    y = jnp.concatenate(rows_y, axis=0)  # [next, w, cpad] fp32
+    mean = y.sum(-1, keepdims=True) * (1.0 / c)
+    var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
+    r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    z = (y - mean) * r  # pad lanes: -mean*r (inert, see module docstring)
+    z2d = (z * lns_ref[0, :] + lnb_ref[0, :]).astype(dt)
+
+    tok = next_ * w
+    z2f = z2d.reshape(tok, cpad)
+    h1 = (
+        jnp.dot(z2f, w1_ref[:], preferred_element_type=f32) + b1_ref[0, :]
+    )  # [tok, 4C]
+    # tanh-GELU and its derivative (shares the tanh evaluation)
+    u = 0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)
+    th = jnp.tanh(u)
+    a = h1 * 0.5 * (1.0 + th)
+    du = 0.7978845608028654 * (1.0 + 3.0 * 0.044715 * h1 * h1)
+    dgelu = 0.5 * (1.0 + th) + h1 * 0.5 * (1.0 - th * th) * du
+
+    # ---- backward chain ----
+    gy = gs[:, 3 : 3 + w, :].astype(f32)  # [next, w, cpad]; halo cols inert
+    gyf = gy.reshape(tok, cpad)
+    do = gyf * gam_ref[0, :]
+    # d_a = do @ w2^T without an in-kernel transpose: contract the Cp dims
+    d_a = jax.lax.dot_general(
+        do.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [tok, 4C]
+    d_h = d_a * dgelu
+    d_z2 = jax.lax.dot_general(
+        d_h.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )  # [tok, Cp]; pad lanes zero (w1 pad rows zero)
+    d_z = (d_z2 * lns_ref[0, :]).reshape(next_, w, cpad)
+    m1 = d_z.sum(-1, keepdims=True) * (1.0 / c)
+    m2 = (d_z * z).sum(-1, keepdims=True) * (1.0 / c)
+    d_y = r * (d_z - m1 - z * m2)  # [next, w, cpad]
+
+    # ---- dx for the center rows: correlation with flipped taps + residual
+    dyp = jnp.pad(d_y, ((0, 0), (3, wpad - w - 3), (0, 0)))
+    rows_dx = [
+        (
+            sum(
+                dyp[j + 6 - dy, dx_ : 0 + dx_ + w, :]
+                * dw_ref[dy, 6 - dx_, :]
+                for dy in range(7)
+                for dx_ in range(7)
+            )
+        )[None]
+        for j in range(rc)
+    ]
+    d_x = jnp.concatenate(rows_dx, axis=0)  # [rc, w, cpad] fp32
+    d_x = d_x + gs[3 : 3 + rc, 3 : 3 + w, :].astype(f32)  # residual branch
+    dx_ref[0] = jnp.pad(
+        d_x.astype(dx_ref.dtype), ((0, 0), (3, wpad - w - 3), (0, 0))
+    )
+
+    # ---- parameter gradients (center rows only; accumulated across grid)
+    def acc(ref, val):
+        ref[...] = jnp.where(g == 0, val, ref[...] + val)
+
+    ctr = slice(3 * w, (3 + rc) * w)  # center-token slice of [tok, ...]
+    o_ctr = (
+        jnp.dot(a[ctr].astype(dt), w2_ref[:], preferred_element_type=f32)
+        + b2_ref[0, :]
+    )
+    gy_ctr = gyf[ctr]
+    acc(dgam_ref, (gy_ctr * o_ctr).sum(0, keepdims=True))
+    acc(db2_ref, do[ctr].sum(0, keepdims=True))
+    acc(
+        dw2_ref,
+        jax.lax.dot_general(
+            a[ctr].astype(dt), do[ctr].astype(dt),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ),
+    )
+    acc(db1_ref, d_h[ctr].sum(0, keepdims=True))
+    acc(
+        dw1_ref,
+        jax.lax.dot_general(
+            z2f[ctr], d_h[ctr].astype(dt),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ),
+    )
+    zc = z.reshape(tok, cpad)[ctr]
+    d_z2c = d_z2[ctr]
+    acc(dlns_ref, (d_z2c * zc).sum(0, keepdims=True))
+    acc(dlnb_ref, d_z2c.sum(0, keepdims=True))
+    d_y_ctr = d_y[3 : 3 + rc]
+    acc(ddwb_ref, d_y_ctr.sum((0, 1))[None])
+    # filter grad: dK[dy,dx] = sum over center tokens of x[..+dy, ..+dx]*d_y
+    taps = []
+    for dy in range(7):
+        row = []
+        for dx in range(7):
+            xwin = xs[3 + dy : 3 + dy + rc, dx : dx + w, :].astype(f32)
+            row.append((xwin * d_y_ctr).sum((0, 1)))
+        row.append(jnp.zeros((cpad,), f32))
+        taps.append(jnp.stack(row, 0))
+    taps.append(jnp.zeros((8, cpad), f32))
+    acc(ddw_ref, jnp.stack(taps, 0))
+
+
+def _pick_rc(h: int, w: int, c: int, dtype_bytes: int) -> int:
+    """Largest correct divisor fitting VMEM; interior chunks need rc >= 6
+    (the x slab's +-6 halo)."""
+    budget = 11 * 1024 * 1024
+    cpad = -(-c // 128) * 128
+    wpad = -(-(w + 6) // 8) * 8
+
+    def vmem(rc):
+        nxt = rc + 6
+        slabs = (2 * (rc + 12) + 2 * nxt) * wpad * cpad * dtype_bytes
+        chain = 3 * nxt * w * cpad * 4  # y/z/d_y-scale fp32 live sets
+        mlp = 3 * nxt * w * 4 * c * 4  # h1/a-dgelu/d_h-scale fp32
+        wts = 2 * cpad * 4 * c * (dtype_bytes + 4)  # weights + grad accums
+        return slabs + chain + mlp + wts
+
+    correct = [rc for rc in range(1, h + 1)
+               if h % rc == 0 and (h // rc <= 2 or rc >= 6)]
+    fitting = [rc for rc in correct if vmem(rc) < budget]
+    return max(fitting) if fitting else min(correct, key=vmem)
+
+
+def fused_block_bwd(
+    x_pad, g_pad, dw_kernel, dw_bias, ln_scale, ln_bias,
+    w1, b1, w2, b2, gamma,
+    w: int, c: int, eps: float = 1e-6, interpret: bool = False,
+    row_chunk: int = 0,
+):
+    """One-kernel backward for the padded-layout ConvNeXt block. Returns the
+    10 cotangents in the forward's argument order."""
+    b, h, wpad, cpad = x_pad.shape
+    dt = x_pad.dtype
+    rc = row_chunk or _pick_rc(h, w, c, dt.itemsize)
+    assert h % rc == 0 and (h // rc <= 2 or rc >= 6), (h, rc)
+    nrows = h // rc
+
+    dw = jnp.pad(
+        dw_kernel[:, :, 0, :].astype(jnp.float32),
+        ((0, 1), (0, 1), (0, cpad - c)),
+    )
+
+    def row2(v, n):
+        out = v.astype(jnp.float32).reshape(1, -1)
+        return jnp.pad(out, ((0, 0), (0, n - out.shape[1])))
+
+    w1p = jnp.pad(w1.astype(dt), ((0, cpad - c), (0, 0)))
+    w2p = jnp.pad(w2.astype(dt), ((0, 0), (0, cpad - c)))
+
+    kern = functools.partial(
+        _kernel, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, eps=eps
+    )
+    f32 = jnp.float32
+    const = lambda *_: (0, 0)
+    const3 = lambda *_: (0, 0, 0)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, wpad, cpad), dt),  # dx
+            jax.ShapeDtypeStruct((8, 8, cpad), f32),  # ddw
+            jax.ShapeDtypeStruct((1, cpad), f32),  # ddwb
+            jax.ShapeDtypeStruct((1, cpad), f32),  # dlns
+            jax.ShapeDtypeStruct((1, cpad), f32),  # dlnb
+            jax.ShapeDtypeStruct((cpad, 4 * c), f32),  # dw1
+            jax.ShapeDtypeStruct((1, 4 * c), f32),  # db1
+            jax.ShapeDtypeStruct((4 * c, cpad), f32),  # dw2
+            jax.ShapeDtypeStruct((1, cpad), f32),  # db2
+            jax.ShapeDtypeStruct((1, cpad), f32),  # dgam
+        ),
+        grid=(b * nrows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=(
+            pl.BlockSpec(
+                (1, rc, wpad, cpad),
+                lambda g: (g // nrows, g % nrows, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, 8, cpad), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cpad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cpad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cpad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((cpad, 4 * c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c, cpad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cpad), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cpad), const, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rc + 12, -(-(w + 6) // 8) * 8, cpad), dt),
+            pltpu.VMEM((2, rc + 6, -(-(w + 6) // 8) * 8, cpad), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * c * (3 * 49 + 24 * c),
+            bytes_accessed=4 * b * h * wpad * cpad * 2,
+            transcendentals=b * h * w * 4 * c,
+        ),
+    )(
+        x_pad, g_pad, dw, row2(dw_bias, cpad), row2(ln_scale, cpad),
+        row2(ln_bias, cpad), w1p, row2(b1, 4 * c), w2p, row2(b2, cpad),
+        row2(gamma, cpad),
+    )
+    (dx, ddw, ddwb, dlns, dlnb, dw1, db1, dw2, db2, dgam) = outs
+    return (
+        dx,
+        ddw[:7, :7, :c][:, :, None, :].astype(dw_kernel.dtype),
+        ddwb[0, :c].astype(dw_bias.dtype),
+        dlns[0, :c].astype(ln_scale.dtype),
+        dlnb[0, :c].astype(ln_bias.dtype),
+        dw1[:c].astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2[:, :c].astype(w2.dtype),
+        db2[0, :c].astype(b2.dtype),
+        dgam[0, :c].astype(gamma.dtype),
+    )

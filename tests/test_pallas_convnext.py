@@ -137,3 +137,30 @@ def test_dwconv7_multichunk_matches_lax(rng):
         got = dwconv7(x, k, interpret=True, row_chunk=rc)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4)
+
+
+def test_fused_bwd_multichunk_matches_ref_vjp(rng):
+    """The fully-fused backward kernel vs jax.vjp of the reference, with
+    several row-chunks per image (first/interior/last halo DMA cases)."""
+    from multitask_bonetumor_yolo_tpu.ops.pallas.convnext_block import (
+        pad_for_blocks, unpad_from_blocks,
+    )
+    from multitask_bonetumor_yolo_tpu.ops.pallas.convnext_block_bwd import (
+        fused_block_bwd,
+    )
+
+    args = make_args(rng, b=2, h=24, w=8, c=16)
+    out, vjp = jax.vjp(lambda *a: convnext_block_ref(*a), *args)
+    g = jnp.asarray(rng.randn(*out.shape).astype(np.float32))
+    want = vjp(g)
+    got = fused_block_bwd(
+        pad_for_blocks(args[0]), pad_for_blocks(g), *args[1:],
+        w=8, c=16, interpret=True, row_chunk=6,
+    )
+    gx = unpad_from_blocks(got[0], 8, 16)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(want[0]),
+                               atol=5e-3, rtol=5e-3)
+    for i in range(1, 10):
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(want[i]), atol=2e-2, rtol=2e-2
+        )
