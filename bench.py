@@ -35,6 +35,20 @@ import numpy as np
 
 REF_GPU_EQUIV_IPS = 250.0  # estimated reference GPU images/sec (see docstring)
 
+# Self-anchored MFU denominators (VERDICT r2 #9): judge progress against the
+# chip, not only the GPU-equivalence estimate. FWD_TFLOPS_PER_IMG is the
+# model's matmul/conv FLOP count per 640^2 image (profile table in
+# BASELINE.md: trunk MLPs 1.09 TF + C2f 0.29 + BiFPN 0.566 + Segment 0.76 +
+# Detect 0.368 per batch-16 = 3.07 TF -> 0.192 TF/img). PEAK_TFLOPS is the
+# measured attainable bf16 matmul rate on this v5e (scripts/kernel_lab.py).
+FWD_TFLOPS_PER_IMG = 0.192
+PEAK_TFLOPS = 169.0
+
+
+def _mfu(ips: float, flops_per_img_tf: float = FWD_TFLOPS_PER_IMG) -> float:
+    """Model FLOPs utilisation: achieved matmul TFLOP/s over measured peak."""
+    return ips * flops_per_img_tf / PEAK_TFLOPS
+
 
 def _timeloop(body_fn, n_iters: int, reps: int = 3) -> float:
     """Time jitted fori_loops of ``body_fn(i) -> scalar`` at two iteration
@@ -261,7 +275,13 @@ def main():
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / REF_GPU_EQUIV_IPS, 3),
-        "extra": {"p50_batch_latency_ms": round(p50, 2), "batch": args.batch},
+        "extra": {
+            "p50_batch_latency_ms": round(p50, 2),
+            "batch": args.batch,
+            "mfu": round(_mfu(ips), 3),
+            "achieved_tflops": round(ips * FWD_TFLOPS_PER_IMG, 1),
+            "peak_tflops_measured": PEAK_TFLOPS,
+        },
     }
     if args.all:
         s_ips, s_ms = bench_multitask_inference(1, args.img, args.iters)
@@ -273,6 +293,7 @@ def main():
             single_image_p50_ms=round(s_ms, 2),
             train_step_ips=round(t_ips, 2),
             train_step_ms=round(t_ms, 2),
+            train_step_mfu=round(_mfu(t_ips, 3.0 * FWD_TFLOPS_PER_IMG), 3),
             preprocess_ips=round(p_ips, 2),
             preprocess_ms=round(p_ms, 3),
             eval_pipeline_ips=round(e_ips, 2),

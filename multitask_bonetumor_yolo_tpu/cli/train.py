@@ -31,6 +31,13 @@ def build_config(args) -> ExperimentConfig:
             img_size=args.img_size,
             single_head=args.single_head,
             dtype=args.dtype,
+            bifpn_feature_size=args.bifpn_feature_size,
+            bifpn_num_layers=args.bifpn_layers,
+            backbone_depths=tuple(
+                int(d) for d in args.backbone_depths.split(",")
+            ),
+            backbone_dims=tuple(int(d) for d in args.backbone_dims.split(",")),
+            eval_bn=args.eval_bn,
         ),
         data=DataConfig(
             root=args.root,
@@ -89,6 +96,22 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--single-head", action="store_true",
                     help="v2 variant: detection sliced from the Segment head")
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--bifpn-feature-size", type=int, default=256)
+    ap.add_argument("--bifpn-layers", type=int, default=2)
+    ap.add_argument(
+        "--backbone-depths", default="3,3,9,3",
+        help="comma-separated ConvNeXt stage depths (default: Tiny)",
+    )
+    ap.add_argument(
+        "--backbone-dims", default="96,192,384,768",
+        help="comma-separated ConvNeXt stage dims (default: Tiny)",
+    )
+    ap.add_argument(
+        "--eval-bn", default="reference", choices=["reference", "frozen"],
+        help="'reference' replicates the BN val quirk (momentum .9997; "
+        "running stats track the last train batch); 'frozen' uses torch "
+        "default momentum so val metrics are deterministic for fixed params",
+    )
     ap.add_argument("--iou-match-thresh", type=float, default=0.5)
     ap.add_argument("--loss-weight-seg", type=float, default=1.0)
     ap.add_argument("--loss-weight-box-iou", type=float, default=7.5)

@@ -15,9 +15,9 @@ Deliberate fix (SURVEY.md §2.4): the reference writes mask pixels as value
 127 (label_parsing.py:52,:64) which its own loader then binarises to
 all-zero. We write 255 so any sane threshold works; our loader binarises >0.
 
-Metadata: .xlsx needs openpyxl (not in this image) — a .csv with the same
-columns is accepted and preferred; .xlsx is attempted via pandas and fails
-with a clear message if the engine is missing.
+Metadata: .xlsx is read with the vendored stdlib reader (utils/xlsx.py — no
+openpyxl/pandas needed, matching the reference's ``--meta dataset.xlsx``
+contract); a .csv/.tsv with the same columns is also accepted.
 """
 
 from __future__ import annotations
@@ -84,20 +84,21 @@ def build_type_map(meta_path: str) -> Dict[str, str]:
                 benign = str(row["benign"]).strip() in ("1", "True", "true")
                 mapping[stem] = "B-tumor" if benign else ("M-tumor" if tumor else "normal")
         return mapping
-    # .xlsx path — requires an excel engine
-    try:
-        import pandas as pd
+    # .xlsx path — vendored stdlib reader (utils/xlsx.py), no excel engine
+    # needed; matches the reference contract label_parsing.py:99-104.
+    from ..utils.xlsx import read_xlsx_dicts
 
-        df = pd.read_excel(p)
-    except ImportError as e:  # pragma: no cover
-        raise SystemExit(
-            f"Reading {p} needs an excel engine (openpyxl), which is not "
-            "installed. Convert the sheet to CSV with columns "
-            "(image_id, tumor, benign) and pass that instead."
-        ) from e
+    def truthy(v) -> bool:
+        if isinstance(v, str):
+            return v.strip().lower() in ("1", "true", "yes")
+        return bool(v)
+
     return {
-        Path(str(f)).stem: "B-tumor" if b else ("M-tumor" if t else "normal")
-        for f, t, b in zip(df["image_id"], df["tumor"], df["benign"])
+        Path(str(row["image_id"])).stem: (
+            "B-tumor" if truthy(row["benign"])
+            else ("M-tumor" if truthy(row["tumor"]) else "normal")
+        )
+        for row in read_xlsx_dicts(p)
     }
 
 

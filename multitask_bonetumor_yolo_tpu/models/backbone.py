@@ -21,7 +21,7 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .common import C2f
+from .common import BN_MOMENTUM_BODY, C2f
 
 Dtype = Any
 
@@ -154,18 +154,25 @@ class ConvNeXtFeatures(nn.Module):
 
 
 class ConvNeXtTiny(nn.Module):
-    """Backbone = ConvNeXt-Tiny features (strides 8/16/32) + C2f adapters to
-    channels (256, 384, 512) (reference main_model.py:28-38)."""
+    """Backbone = ConvNeXt features (strides 8/16/32) + C2f adapters to
+    channels (256, 384, 512) (reference main_model.py:28-38). depths/dims
+    default to the Tiny scale the reference uses; smaller settings give the
+    fast verification tier."""
 
     dtype: Dtype = jnp.float32
     pallas: str = "auto"
+    depths: Sequence[int] = TINY_DEPTHS
+    dims: Sequence[int] = TINY_DIMS
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         p3, p4, p5 = ConvNeXtFeatures(
+            depths=self.depths, dims=self.dims,
             dtype=self.dtype, pallas=self.pallas, name="trunk"
         )(x)
-        cp3 = C2f(256, dtype=self.dtype, name="c2f_p3")(p3, train)
-        cp4 = C2f(384, dtype=self.dtype, name="c2f_p4")(p4, train)
-        cp5 = C2f(512, dtype=self.dtype, name="c2f_p5")(p5, train)
+        bm = self.bn_momentum
+        cp3 = C2f(256, dtype=self.dtype, bn_momentum=bm, name="c2f_p3")(p3, train)
+        cp4 = C2f(384, dtype=self.dtype, bn_momentum=bm, name="c2f_p4")(p4, train)
+        cp5 = C2f(512, dtype=self.dtype, bn_momentum=bm, name="c2f_p5")(p5, train)
         return cp3, cp4, cp5

@@ -22,7 +22,7 @@ from typing import Any, List, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .common import ConvBlock, DepthwiseConvBlock, C2f
+from .common import BN_MOMENTUM_BODY, ConvBlock, DepthwiseConvBlock, C2f
 from ..ops.resize import resize_bilinear
 
 Dtype = Any
@@ -32,6 +32,7 @@ class BiFPNUnit(nn.Module):
     feature_size: int = 256
     eps: float = 1e-4
     dtype: Dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     def _norm(self, w: jnp.ndarray) -> jnp.ndarray:
         w = nn.elu(w)
@@ -58,15 +59,21 @@ class BiFPNUnit(nn.Module):
         # top-down
         p5_td = p5_x
         p4_td_sum = w1n[0, 0] * p4_x + w1n[1, 0] * up2(p5_td)
-        p4_td = C2f(fs, dtype=self.dtype, name="p4_td_cf")(
-            DepthwiseConvBlock(fs, dtype=self.dtype, name="p4_td_conv")(
+        p4_td = C2f(fs, dtype=self.dtype, bn_momentum=self.bn_momentum,
+                 name="p4_td_cf")(
+            DepthwiseConvBlock(fs, dtype=self.dtype,
+                               bn_momentum=self.bn_momentum,
+                               name="p4_td_conv")(
                 p4_td_sum, train
             ),
             train,
         )
         p3_td_sum = w1n[0, 1] * p3_x + w1n[1, 1] * up2(p4_td)
-        p3_td = C2f(fs, dtype=self.dtype, name="p3_td_cf")(
-            DepthwiseConvBlock(fs, dtype=self.dtype, name="p3_td_conv")(
+        p3_td = C2f(fs, dtype=self.dtype, bn_momentum=self.bn_momentum,
+                 name="p3_td_cf")(
+            DepthwiseConvBlock(fs, dtype=self.dtype,
+                               bn_momentum=self.bn_momentum,
+                               name="p3_td_conv")(
                 p3_td_sum, train
             ),
             train,
@@ -77,8 +84,11 @@ class BiFPNUnit(nn.Module):
         p4_out_sum = (
             w2n[0, 0] * p4_x + w2n[1, 0] * p4_td + w2n[2, 0] * down2(p3_out)
         )
-        p4_out = C2f(fs, dtype=self.dtype, name="p4_out_cf")(
-            DepthwiseConvBlock(fs, dtype=self.dtype, name="p4_out_conv")(
+        p4_out = C2f(fs, dtype=self.dtype, bn_momentum=self.bn_momentum,
+                 name="p4_out_cf")(
+            DepthwiseConvBlock(fs, dtype=self.dtype,
+                               bn_momentum=self.bn_momentum,
+                               name="p4_out_conv")(
                 p4_out_sum, train
             ),
             train,
@@ -86,8 +96,11 @@ class BiFPNUnit(nn.Module):
         p5_out_sum = (
             w2n[0, 1] * p5_x + w2n[1, 1] * p5_td + w2n[2, 1] * down2(p4_out)
         )
-        p5_out = C2f(fs, dtype=self.dtype, name="p5_out_cf")(
-            DepthwiseConvBlock(fs, dtype=self.dtype, name="p5_out_conv")(
+        p5_out = C2f(fs, dtype=self.dtype, bn_momentum=self.bn_momentum,
+                 name="p5_out_cf")(
+            DepthwiseConvBlock(fs, dtype=self.dtype,
+                               bn_momentum=self.bn_momentum,
+                               name="p5_out_conv")(
                 p5_out_sum, train
             ),
             train,
@@ -100,19 +113,25 @@ class BiFPN(nn.Module):
     num_layers: int = 2
     eps: float = 1e-4
     dtype: Dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray], train: bool = True) -> List[jnp.ndarray]:
         if len(inputs) != 3:
             raise ValueError(f"BiFPN expects 3 feature maps, got {len(inputs)}")
         c3, c4, c5 = inputs
+        bm = self.bn_momentum
         feats = [
-            ConvBlock(self.feature_size, 1, dtype=self.dtype, name="p3_proj")(c3, train),
-            ConvBlock(self.feature_size, 1, dtype=self.dtype, name="p4_proj")(c4, train),
-            ConvBlock(self.feature_size, 1, dtype=self.dtype, name="p5_proj")(c5, train),
+            ConvBlock(self.feature_size, 1, dtype=self.dtype, bn_momentum=bm,
+                      name="p3_proj")(c3, train),
+            ConvBlock(self.feature_size, 1, dtype=self.dtype, bn_momentum=bm,
+                      name="p4_proj")(c4, train),
+            ConvBlock(self.feature_size, 1, dtype=self.dtype, bn_momentum=bm,
+                      name="p5_proj")(c5, train),
         ]
         for i in range(self.num_layers):
             feats = BiFPNUnit(
-                self.feature_size, self.eps, dtype=self.dtype, name=f"unit{i}"
+                self.feature_size, self.eps, dtype=self.dtype, bn_momentum=bm,
+                name=f"unit{i}"
             )(feats, train)
         return feats

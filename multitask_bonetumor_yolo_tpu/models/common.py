@@ -30,6 +30,11 @@ BN_MOMENTUM_BODY = 1.0 - 0.9997  # reference body blocks (main_model.py:95,135)
 BN_EPS_BODY = 4e-5
 BN_MOMENTUM_HEAD = 1.0 - 0.03  # ultralytics Conv default (heads)
 BN_EPS_HEAD = 1e-3
+# torch nn.BatchNorm2d default momentum 0.1 — the ModelConfig.eval_bn
+# "frozen" option uses this so running stats converge and eval metrics are
+# deterministic for fixed params (vs the reference's .9997 quirk where
+# running stats ≈ the last train batch).
+BN_MOMENTUM_FROZEN = 1.0 - 0.1
 
 
 def autopad(k: Union[int, Sequence[int]], p=None, d: int = 1):
@@ -94,6 +99,7 @@ class ConvBlock(nn.Module):
     strides: int = 1
     groups: int = 1
     dtype: Dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -104,6 +110,7 @@ class ConvBlock(nn.Module):
             groups=self.groups,
             use_bias=True,
             act="silu",
+            bn_momentum=self.bn_momentum,
             dtype=self.dtype,
         )(x, train)
 
@@ -125,6 +132,7 @@ class DepthwiseConvBlock(nn.Module):
     kernel_size: int = 1
     strides: int = 1
     dtype: Dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -169,7 +177,7 @@ class DepthwiseConvBlock(nn.Module):
             )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=BN_MOMENTUM_BODY,
+            momentum=self.bn_momentum,
             epsilon=BN_EPS_BODY,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
@@ -186,13 +194,16 @@ class Bottleneck(nn.Module):
     kernel: Tuple[int, int] = (3, 3)
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         c_hidden = int(self.features * self.e)
-        y = ConvBlock(c_hidden, self.kernel[0], dtype=self.dtype)(x, train)
+        y = ConvBlock(c_hidden, self.kernel[0], dtype=self.dtype,
+                      bn_momentum=self.bn_momentum)(x, train)
         y = ConvBlock(
-            self.features, self.kernel[1], groups=self.groups, dtype=self.dtype
+            self.features, self.kernel[1], groups=self.groups, dtype=self.dtype,
+            bn_momentum=self.bn_momentum,
         )(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             return x + y
@@ -209,19 +220,22 @@ class C2f(nn.Module):
     groups: int = 1
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    bn_momentum: float = BN_MOMENTUM_BODY
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         c = int(self.features * self.e)
-        y = ConvBlock(2 * c, 1, dtype=self.dtype)(x, train)
+        y = ConvBlock(2 * c, 1, dtype=self.dtype,
+                      bn_momentum=self.bn_momentum)(x, train)
         parts = [y[..., :c], y[..., c:]]
         for _ in range(self.n):
             parts.append(
                 Bottleneck(
                     c, self.shortcut, self.groups, kernel=(3, 3), e=1.0,
-                    dtype=self.dtype,
+                    dtype=self.dtype, bn_momentum=self.bn_momentum,
                 )(parts[-1], train)
             )
-        return ConvBlock(self.features, 1, dtype=self.dtype)(
+        return ConvBlock(self.features, 1, dtype=self.dtype,
+                         bn_momentum=self.bn_momentum)(
             jnp.concatenate(parts, axis=-1), train
         )

@@ -58,6 +58,19 @@ class ModelConfig:
     single_head: bool = False  # False = v1 (Detect+Segment), True = v2
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
     pallas: str = "auto"  # ConvNeXt fused-block kernel: "auto"|"on"|"off"
+    # Backbone scale (timm convnext family knob; Tiny = reference parity,
+    # main_model.py:21-26). Smaller settings give a fast verification tier
+    # whose trainer-loop logic compiles in seconds (tests/test_train_fast.py).
+    backbone_depths: tuple = (3, 3, 9, 3)
+    backbone_dims: tuple = (96, 192, 384, 768)
+    # BN eval behaviour: "reference" replicates the quirk where momentum
+    # .9997 makes eval-mode body-BN stats track the LAST train batch
+    # (running_main_v3.py:449 + torch BN momentum conversion, SURVEY §2.4) —
+    # kept as the parity default. "frozen" uses torch-style effective
+    # momentum 0.1 so running stats actually converge and val metrics are
+    # deterministic for fixed params (kills the documented checkpoint-
+    # selection jitter, BASELINE.md "reading the numbers honestly").
+    eval_bn: str = "reference"
 
     @property
     def compute_dtype(self):
@@ -77,11 +90,18 @@ class MultitaskModel(nn.Module):
         dt = cfg.compute_dtype
         x = x.astype(dt)
 
-        c3, c4, c5 = ConvNeXtTiny(dtype=dt, pallas=cfg.pallas, name="backbone")(
-            x, train
-        )
+        from .common import BN_MOMENTUM_BODY, BN_MOMENTUM_FROZEN
+
+        if cfg.eval_bn not in ("reference", "frozen"):
+            raise ValueError(f"unknown eval_bn {cfg.eval_bn!r}")
+        bm = BN_MOMENTUM_FROZEN if cfg.eval_bn == "frozen" else BN_MOMENTUM_BODY
+        c3, c4, c5 = ConvNeXtTiny(
+            dtype=dt, pallas=cfg.pallas, depths=tuple(cfg.backbone_depths),
+            dims=tuple(cfg.backbone_dims), bn_momentum=bm, name="backbone",
+        )(x, train)
         p3, p4, p5 = BiFPN(
-            cfg.bifpn_feature_size, cfg.bifpn_num_layers, dtype=dt, name="neck"
+            cfg.bifpn_feature_size, cfg.bifpn_num_layers, dtype=dt,
+            bn_momentum=bm, name="neck"
         )([c3, c4, c5], train)
         feats = [p3, p4, p5]
 

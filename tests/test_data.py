@@ -115,6 +115,68 @@ def test_converter_roundtrip(tmp_path):
 
 
 # ---------------------------------------------------------------- device ops
+def test_converter_xlsx_meta(tmp_path):
+    """--meta dataset.xlsx works without openpyxl via the vendored reader
+    (reference contract: label_parsing.py:99-104)."""
+    import csv
+
+    from multitask_bonetumor_yolo_tpu.utils.xlsx import (
+        read_xlsx_dicts,
+        write_xlsx,
+    )
+
+    raw = make_synthetic_raw(str(tmp_path / "raw"), n=6, seed=2)
+    with open(raw / "dataset.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    # mix types the way a real sheet does: ints for flags, strings for ids
+    write_xlsx(
+        raw / "dataset.xlsx",
+        ["image_id", "tumor", "benign"],
+        [[r["image_id"], int(r["tumor"]), int(r["benign"])] for r in rows],
+    )
+    parsed = read_xlsx_dicts(raw / "dataset.xlsx")
+    assert [p["image_id"] for p in parsed] == [r["image_id"] for r in rows]
+    assert all(p["tumor"] == int(r["tumor"]) for p, r in zip(parsed, rows))
+
+    n = convert(str(raw), str(raw / "dataset.xlsx"), str(tmp_path / "ready"))
+    assert n == 6
+    ds = BTXRD(DataConfig(root=str(tmp_path / "ready"), img_size=256), "all")
+    classes = sorted({int(ds[i]["img_cls"]) for i in range(6)})
+    assert classes == [0, 1]
+
+
+def test_xlsx_shared_strings_and_gaps(tmp_path):
+    """Reader handles sharedStrings cells and sparse rows (column gaps)."""
+    import zipfile
+
+    from multitask_bonetumor_yolo_tpu.utils.xlsx import (
+        read_xlsx_rows,
+        write_xlsx,
+    )
+
+    p = tmp_path / "t.xlsx"
+    write_xlsx(p, ["a", "b", "c"], [["x", 1, 2.5]])
+    # rewrite sheet1 to use shared strings + a skipped column
+    with zipfile.ZipFile(p) as zf:
+        names = {n: zf.read(n) for n in zf.namelist()}
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    names["xl/sharedStrings.xml"] = (
+        f'<sst xmlns="{ns}" count="2" uniqueCount="2">'
+        "<si><t>hello</t></si><si><r><t>wor</t></r><r><t>ld</t></r></si></sst>"
+    ).encode()
+    names["xl/worksheets/sheet1.xml"] = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c>'
+        '<c r="D1" t="b"><v>1</v></c></row>'
+        "</sheetData></worksheet>"
+    ).encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in names.items():
+            zf.writestr(n, data)
+    rows = read_xlsx_rows(p)
+    assert rows == [["hello", None, "world", True]]
+
+
 def test_normalize():
     u8 = jnp.asarray(np.array([[[[0, 128, 255]]]], np.uint8))
     out = np.asarray(normalize(u8))
