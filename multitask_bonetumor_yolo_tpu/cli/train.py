@@ -56,6 +56,7 @@ def build_config(args) -> ExperimentConfig:
             weight_cls_det=args.loss_weight_cls_det,
             weight_img_cls=args.loss_weight_img_cls,
             det_label_smoothing=args.det_label_smoothing,
+            assigner=args.assigner,
         ),
         train=TrainConfig(
             lr=args.lr,
@@ -113,6 +114,12 @@ def make_parser() -> argparse.ArgumentParser:
         "default momentum so val metrics are deterministic for fixed params",
     )
     ap.add_argument("--iou-match-thresh", type=float, default=0.5)
+    ap.add_argument(
+        "--assigner", default="reference", choices=["reference", "tal"],
+        help="'reference' replicates the pred-IoU>thresh hard-target "
+        "assigner (running_main_v3.py:317-347); 'tal' uses task-aligned "
+        "soft targets (breaks the documented ~0.43 mAP50 ceiling)",
+    )
     ap.add_argument("--loss-weight-seg", type=float, default=1.0)
     ap.add_argument("--loss-weight-box-iou", type=float, default=7.5)
     ap.add_argument("--loss-weight-dfl", type=float, default=1.5)

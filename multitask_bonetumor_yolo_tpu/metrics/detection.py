@@ -5,8 +5,7 @@ used at /root/reference/src/running_main_v3.py:206-217) with a host-side numpy
 implementation of the COCOeval algorithm:
 
   * greedy per-image matching, detections sorted by score, each detection
-    takes the best still-unmatched GT with IoU >= threshold (ties to the
-    earlier GT), matched GT can't be reused;
+    takes the best still-unmatched GT with IoU >= threshold;
   * crowd/ignore handling is omitted (the BTXRD pipeline never produces
     iscrowd or ignore regions);
   * area-range evaluation marks out-of-range GT as ignored: detections matched
@@ -17,6 +16,16 @@ implementation of the COCOeval algorithm:
   * scores averaged over classes present in GT; absent classes contribute -1
     and are excluded (COCO convention).
 
+Performance (VERDICT r2 #3 — this accumulator dominated offline-eval wall
+clock): IoU matrices and greedy matches are computed ONCE per (image, class,
+area) at the largest maxDet and cached — smaller maxDets are exact prefixes
+of the greedy match (detections are processed in score order, so a
+detection's match never depends on later detections) — and the per-GT inner
+loop is vectorised. Inputs may also carry PRECOMPUTED geometry summaries
+(``ious`` + ``areas`` keys) so mask mAP can be fed from device-side scalar
+reductions instead of shipping full-resolution masks to the host (see
+metrics/segmentation.py:mask_map_inputs_from_counts).
+
 Output keys mirror torchmetrics: map, map_50, map_75, map_small, map_medium,
 map_large, mar_{d} for each max_detection_threshold, mar_small/medium/large,
 map_per_class, mar_{maxdet}_per_class, classes.
@@ -24,7 +33,7 @@ map_per_class, mar_{maxdet}_per_class, classes.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -61,8 +70,58 @@ def _mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-9)
 
 
+def _greedy_match(
+    iou: np.ndarray,  # [D, G] score-sorted detections
+    gt_ignore: np.ndarray,  # [G] bool
+    thrs: np.ndarray,  # [T]
+    det_ignore_mask: np.ndarray,  # [D] bool (det area outside range)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy COCO matching for every threshold. Semantics identical to the
+    round-1 reference loop (oracle-fuzzed): a detection takes the best
+    available GT with IoU >= thr, later GT wins IoU ties, a non-ignored GT
+    is always preferred over an ignored one, and unmatched detections whose
+    own area is out of range are ignored rather than counted as FP.
+    Returns (tp [T, D], ign [T, D])."""
+    D, G = iou.shape
+    T = len(thrs)
+    tp = np.zeros((T, D), bool)
+    ign = np.zeros((T, D), bool)
+    if D == 0:
+        return tp, ign
+    if G == 0:
+        ign[:] = det_ignore_mask[None, :]
+        return tp, ign
+    nonign_g = ~gt_ignore
+    for ti, thr in enumerate(thrs):
+        taken = np.zeros(G, bool)
+        for di in range(D):
+            row = iou[di]
+            ok = (~taken) & (row >= thr)
+            cand = ok & nonign_g
+            use_ign = False
+            if not cand.any():
+                cand = ok & gt_ignore
+                use_ign = True
+                if not cand.any():
+                    continue
+            vals = np.where(cand, row, -np.inf)
+            mx = vals.max()
+            gi = np.nonzero(vals == mx)[0][-1]  # later GT wins ties
+            taken[gi] = True
+            if use_ign:
+                ign[ti, di] = True
+            else:
+                tp[ti, di] = True
+        unmatched = ~(tp[ti] | ign[ti])
+        ign[ti] |= unmatched & det_ignore_mask
+    return tp, ign
+
+
 class MeanAveragePrecision:
-    """Accumulating COCO mAP. ``iou_type`` 'bbox' (xyxy) or 'segm' (bool masks)."""
+    """Accumulating COCO mAP. ``iou_type`` 'bbox' (xyxy) or 'segm' (bool
+    masks). Per-image dicts may alternatively carry precomputed geometry:
+    preds {'ious': [N, M_img], 'areas': [N], 'scores', 'labels'} and targets
+    {'areas': [M_img], 'labels'} — used by the device-side mask-mAP path."""
 
     def __init__(
         self,
@@ -86,22 +145,30 @@ class MeanAveragePrecision:
     def reset(self) -> None:
         self._preds: List[dict] = []
         self._targets: List[dict] = []
+        self._img_cache: Dict[Tuple[int, int], tuple] = {}
+        self._match_cache: Dict[Tuple[int, str], tuple] = {}
 
     def update(self, preds: Sequence[dict], targets: Sequence[dict]) -> None:
         """preds: per-image dicts with 'scores','labels' and 'boxes' (xyxy
-        [N,4]) or 'masks' ([N,H,W] bool). targets: 'labels' + same geometry
-        key. Numpy or JAX arrays both accepted."""
+        [N,4]) or 'masks' ([N,H,W] bool) or precomputed 'ious'+'areas'.
+        targets: 'labels' + same geometry key (or 'areas'). Numpy or JAX
+        arrays both accepted."""
         if len(preds) != len(targets):
             raise ValueError("preds and targets must align per-image")
         for p, t in zip(preds, targets):
             self._preds.append({k: np.asarray(v) for k, v in p.items()})
             self._targets.append({k: np.asarray(v) for k, v in t.items()})
+        self._img_cache.clear()
+        self._match_cache.clear()
 
     # ------------------------------------------------------------------
     def _geometry(self, d: dict) -> np.ndarray:
         return d["masks"] if self.iou_type == "segm" else d["boxes"]
 
-    def _areas(self, geom: np.ndarray) -> np.ndarray:
+    def _areas(self, d: dict, sel: np.ndarray) -> np.ndarray:
+        if "areas" in d:
+            return np.asarray(d["areas"], np.float64)[sel]
+        geom = self._geometry(d)[sel]
         if len(geom) == 0:
             return np.zeros((0,), np.float64)
         if self.iou_type == "segm":
@@ -110,90 +177,66 @@ class MeanAveragePrecision:
             np.float64
         )
 
-    def _evaluate_class(self, cls: int, area_rng, max_det: int):
-        """Returns (scores, tp_flags [T, D]) concatenated over images, plus
-        total GT count in range."""
-        T = len(self.iou_thresholds)
-        all_scores, all_tp, all_ignore = [], [], []
-        n_gt = 0
-        for p, t in zip(self._preds, self._targets):
-            p_sel = np.asarray(p["labels"]) == cls
-            t_sel = np.asarray(t["labels"]) == cls
-            geom_p = self._geometry(p)[p_sel]
+    def _img_data(self, ii: int, cls: int):
+        """Cached per-(image, class): score-sorted detections' scores, det
+        areas, IoU matrix vs this class's GT, and GT areas."""
+        key = (ii, cls)
+        hit = self._img_cache.get(key)
+        if hit is not None:
+            return hit
+        p, t = self._preds[ii], self._targets[ii]
+        p_sel = np.asarray(p["labels"]) == cls
+        t_sel = np.asarray(t["labels"]) == cls
+        scores = np.asarray(p["scores"], np.float64)[p_sel]
+        order = np.argsort(-scores, kind="stable")
+        scores = scores[order]
+        det_areas = self._areas(p, p_sel)[order]
+        gt_areas = self._areas(t, t_sel)
+        if "ious" in p:
+            iou = np.asarray(p["ious"], np.float64)[p_sel][:, t_sel][order]
+        else:
+            geom_p = self._geometry(p)[p_sel][order]
             geom_t = self._geometry(t)[t_sel]
-            scores = np.asarray(p["scores"], np.float64)[p_sel]
-
-            order = np.argsort(-scores, kind="stable")[:max_det]
-            geom_p, scores = geom_p[order], scores[order]
-
-            gt_area = self._areas(geom_t)
-            gt_ignore = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-            n_gt += int((~gt_ignore).sum())
-
             iou = (
                 _mask_iou(geom_p, geom_t)
                 if self.iou_type == "segm"
                 else _box_iou(geom_p, geom_t)
             )
-            D, G = iou.shape
-            tp = np.zeros((T, D), bool)
-            ign = np.zeros((T, D), bool)
-            for ti, thr in enumerate(self.iou_thresholds):
-                taken = np.zeros(G, bool)
-                for di in range(D):
-                    best, best_g = thr, -1
-                    for gi in range(G):
-                        if taken[gi]:
-                            continue
-                        # prefer non-ignored matches; COCOeval allows switching
-                        # to an ignored gt only if no valid match was found
-                        if best_g >= 0 and not gt_ignore[best_g] and gt_ignore[gi]:
-                            continue
-                        if iou[di, gi] >= best or (
-                            best_g >= 0
-                            and gt_ignore[best_g]
-                            and not gt_ignore[gi]
-                            and iou[di, gi] >= thr
-                        ):
-                            best, best_g = iou[di, gi], gi
-                    if best_g >= 0:
-                        taken[best_g] = True
-                        if gt_ignore[best_g]:
-                            ign[ti, di] = True
-                        else:
-                            tp[ti, di] = True
-                # COCOeval: unmatched detections whose own area is outside the
-                # range are ignored rather than counted as FP
-                if D:
-                    det_area = self._areas(geom_p)
-                    out_of_rng = (det_area < area_rng[0]) | (det_area > area_rng[1])
-                    unmatched = ~(tp[ti] | ign[ti])
-                    ign[ti] |= unmatched & out_of_rng
-            all_scores.append(scores)
-            all_tp.append(tp)
-            all_ignore.append(ign)
+        out = (scores, det_areas, iou, gt_areas)
+        self._img_cache[key] = out
+        return out
 
-        scores = np.concatenate(all_scores) if all_scores else np.zeros((0,))
-        tp = (
-            np.concatenate(all_tp, axis=1)
-            if all_tp
-            else np.zeros((T, 0), bool)
-        )
-        ign = (
-            np.concatenate(all_ignore, axis=1)
-            if all_ignore
-            else np.zeros((T, 0), bool)
-        )
-        return scores, tp, ign, n_gt
+    def _matches(self, cls: int, area: str):
+        """Cached per-(class, area): per-image (scores, tp [T,D], ign [T,D])
+        at FULL detection depth, plus the in-range GT count. Any maxDet is
+        an exact prefix of these."""
+        key = (cls, area)
+        hit = self._match_cache.get(key)
+        if hit is not None:
+            return hit
+        lo, hi = _AREA_RANGES[area]
+        per_img = []
+        n_gt = 0
+        for ii in range(len(self._preds)):
+            scores, det_areas, iou, gt_areas = self._img_data(ii, cls)
+            gt_ignore = (gt_areas < lo) | (gt_areas > hi)
+            n_gt += int((~gt_ignore).sum())
+            det_out = (det_areas < lo) | (det_areas > hi)
+            tp, ign = _greedy_match(iou, gt_ignore, self.iou_thresholds, det_out)
+            per_img.append((scores, tp, ign))
+        out = (per_img, n_gt)
+        self._match_cache[key] = out
+        return out
 
     def _ap_ar_for(self, cls: int, area: str, max_det: int):
         """(AP[T], AR[T]) for one class/area/maxDet combo; -1 when no GT."""
-        scores, tp, ign, n_gt = self._evaluate_class(
-            cls, _AREA_RANGES[area], max_det
-        )
+        per_img, n_gt = self._matches(cls, area)
         T = len(self.iou_thresholds)
         if n_gt == 0:
             return np.full(T, -1.0), np.full(T, -1.0)
+        scores = np.concatenate([s[:max_det] for s, _, _ in per_img])
+        tp = np.concatenate([m[:, :max_det] for _, m, _ in per_img], axis=1)
+        ign = np.concatenate([g[:, :max_det] for _, _, g in per_img], axis=1)
         order = np.argsort(-scores, kind="stable")
         tp, ign = tp[:, order], ign[:, order]
         ap = np.zeros(T)

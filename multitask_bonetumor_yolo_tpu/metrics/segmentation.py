@@ -75,6 +75,47 @@ class BinarySegMetrics:
         }
 
 
+def mask_map_inputs_from_counts(counts, scores):
+    """Per-image pred/target mAP dicts from DEVICE-side scalar reductions —
+    no mask pixels cross the host boundary (VERDICT r2 #3; the relay moves
+    ~9 MB/s, so shipping [B,640,640] masks dominated offline eval).
+
+    counts: [B, 4] per-image (tp, fp, fn, tn) pixel counts of the
+    thresholded semantic mask vs GT (train/steps.py eval_step computes
+    them on device); scores: [B] mean foreground probability. For the
+    one-pred/one-gt semantic-mask case these determine the mask IoU and
+    both areas EXACTLY: iou = tp/(tp+fp+fn), pred area = tp+fp,
+    gt area = tp+fn — consumed by MeanAveragePrecision's precomputed-
+    geometry path ('ious' + 'areas' keys).
+
+    Empty-geometry semantics match mask_map_inputs: an all-background
+    prediction or GT still contributes one zero-area entry whose IoU is 0
+    (identical to a [H,W] all-false mask under _mask_iou)."""
+    counts = np.asarray(counts, np.float64)
+    scores = np.asarray(scores, np.float32)
+    preds, targets = [], []
+    for i in range(counts.shape[0]):
+        tp, fp, fn, _ = counts[i]
+        pred_area = tp + fp
+        gt_area = tp + fn
+        iou = tp / max(tp + fp + fn, 1e-9)
+        preds.append(
+            dict(
+                ious=np.asarray([[iou]], np.float64),
+                areas=np.asarray([pred_area], np.float64),
+                scores=np.asarray([scores[i]], np.float32),
+                labels=np.zeros((1,), np.int64),
+            )
+        )
+        targets.append(
+            dict(
+                areas=np.asarray([gt_area], np.float64),
+                labels=np.zeros((1,), np.int64),
+            )
+        )
+    return preds, targets
+
+
 def mask_map_inputs_from_masks(pred_masks, scores, gt_masks):
     """Like :func:`mask_map_inputs` but from pre-thresholded masks and
     per-image scores (both computable on device; only bools/scalars cross

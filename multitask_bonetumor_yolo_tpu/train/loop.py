@@ -28,7 +28,10 @@ from ..metrics import (
     ClassificationMetrics,
     MeanAveragePrecision,
 )
-from ..metrics.segmentation import mask_map_inputs, mask_map_inputs_from_masks
+from ..metrics.segmentation import (
+    mask_map_inputs,
+    mask_map_inputs_from_counts,
+)
 from ..models import ModelConfig
 from ..parallel import create_mesh, shard_batch
 from ..utils.logging import RunLogger
@@ -123,21 +126,33 @@ class ValidationMetrics:
         self.seg_map = MeanAveragePrecision(iou_type="segm")
         self.losses: Dict[str, list] = {}
 
+    # aux keys the metric accumulators consume — fetched from device in ONE
+    # batched transfer (each separate fetch pays the relay's ~29 ms fixed
+    # round trip); the full-resolution seg_prob/seg_mask stay on device for
+    # the viz path only.
+    _SMALL_AUX = (
+        "seg_counts", "seg_score", "cls_logits", "cm_mask", "cm_pred",
+        "cm_gt", "nms_boxes", "nms_scores", "nms_labels", "nms_valid",
+    )
+
     def update(self, metrics, aux, batch) -> None:
         # trim padded samples from a pad_last final batch
         sv = np.asarray(
             batch.get("sample_valid", np.ones(len(batch["img_cls"]), bool))
         ).astype(bool)
+        small = {k: aux[k] for k in self._SMALL_AUX if k in aux}
+        metrics, small = jax.device_get((metrics, small))
+        aux = {**aux, **small}
         for k, v in metrics.items():
             self.losses.setdefault(k, []).append(float(v))
-        gt_mask = np.asarray(batch["mask"])[sv]
         if "seg_counts" in aux:  # device-side summaries (eval step)
-            self.seg.update_counts(np.asarray(aux["seg_counts"])[sv])
-            p, t = mask_map_inputs_from_masks(
-                np.asarray(aux["seg_mask"])[sv],
-                np.asarray(aux["seg_score"])[sv], gt_mask,
+            counts = np.asarray(aux["seg_counts"])[sv]
+            self.seg.update_counts(counts)
+            p, t = mask_map_inputs_from_counts(
+                counts, np.asarray(aux["seg_score"])[sv]
             )
         else:
+            gt_mask = np.asarray(batch["mask"])[sv]
             seg_prob = np.asarray(aux["seg_prob"])[sv]
             self.seg.update(seg_prob, gt_mask)
             p, t = mask_map_inputs(seg_prob, gt_mask)

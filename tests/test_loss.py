@@ -253,3 +253,139 @@ def test_loss_gradients_finite(rng):
     )
     for g in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------- TAL assigner
+def tal_loss(rng, with_boxes=True, **kw):
+    cfg = LossConfig(img_size=64, nc_det=2, assigner="tal", **kw)
+    (det_levels, seg_logits, cls_logits, masks, img_cls,
+     boxes, valid, _) = make_inputs(rng, with_boxes=with_boxes)
+    out = multitask_loss(
+        {"det_feats": [jnp.asarray(l) for l in det_levels],
+         "seg_logits": jnp.asarray(seg_logits),
+         "cls_logits": jnp.asarray(cls_logits)},
+        {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid),
+         "mask": jnp.asarray(masks), "img_cls": jnp.asarray(img_cls)},
+        cfg, train=True,
+    )
+    return out, boxes, valid
+
+
+def test_tal_positive_budget_and_location(rng):
+    """Each GT contributes at most tal_topk positives, and every positive
+    anchor's center lies inside its assigned (valid) GT box."""
+    from multitask_bonetumor_yolo_tpu.core.anchors import make_anchors
+
+    out, boxes, valid = tal_loss(rng)
+    pos = np.asarray(out.matched_mask)
+    n_gt = valid.sum()
+    assert 0 < pos.sum() <= n_gt * 10
+    anchors, strides = make_anchors(64, (8, 16, 32))
+    centers = np.asarray(anchors * strides)  # [A, 2]
+    # assigned GT (cls already checked via matched_gt_cls); recover boxes
+    for b in range(pos.shape[0]):
+        gt_xyxy = np.stack([
+            (boxes[b, :, 1] - boxes[b, :, 3] / 2) * 64,
+            (boxes[b, :, 2] - boxes[b, :, 4] / 2) * 64,
+            (boxes[b, :, 1] + boxes[b, :, 3] / 2) * 64,
+            (boxes[b, :, 2] + boxes[b, :, 4] / 2) * 64,
+        ], -1)
+        for a in np.where(pos[b])[0]:
+            c = centers[a]
+            inside_any = (
+                (c[0] > gt_xyxy[valid[b], 0]) & (c[0] < gt_xyxy[valid[b], 2])
+                & (c[1] > gt_xyxy[valid[b], 1]) & (c[1] < gt_xyxy[valid[b], 3])
+            ).any()
+            assert inside_any, (b, a, c)
+
+
+def test_tal_negative_pressure(rng):
+    """Raising a far-away anchor's class score must increase the TAL cls
+    loss (explicit zero targets on negatives) — the exact failure mode of
+    the reference assigner, whose loss ignores negative anchors entirely."""
+    cfg_tal = LossConfig(img_size=64, nc_det=2, assigner="tal")
+    cfg_ref = LossConfig(img_size=64, nc_det=2, iou_match_thresh=0.999)
+    (det_levels, seg_logits, cls_logits, masks, img_cls,
+     boxes, valid, _) = make_inputs(rng, B=1, with_boxes=True)
+    # one GT in the center; corner anchor of level 0 is far outside it
+    boxes[:] = 0; valid[:] = False
+    boxes[0, 0] = [0, 0.5, 0.5, 0.3, 0.3]; valid[0, 0] = True
+    batch = {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid),
+             "mask": jnp.asarray(masks), "img_cls": jnp.asarray(img_cls)}
+
+    def cls_loss(cfg, bump):
+        lv = [l.copy() for l in det_levels]
+        lv[0][0, 0, 0, 64:] += bump  # corner anchor's class logits
+        out = multitask_loss(
+            {"det_feats": [jnp.asarray(l) for l in lv],
+             "seg_logits": jnp.asarray(seg_logits),
+             "cls_logits": jnp.asarray(cls_logits)},
+            batch, cfg, train=True)
+        return float(out.components["cls_det"])
+
+    assert cls_loss(cfg_tal, 8.0) > cls_loss(cfg_tal, 0.0) + 1e-4
+    # reference assigner with no positives: bump is invisible
+    assert abs(cls_loss(cfg_ref, 8.0) - cls_loss(cfg_ref, 0.0)) < 1e-7
+
+
+def test_tal_no_gt_finite(rng):
+    out, _, _ = tal_loss(rng, with_boxes=False)
+    assert int(np.asarray(out.matched_mask).sum()) == 0
+    assert float(out.components["box_iou"]) == 0.0
+    assert float(out.components["dfl"]) == 0.0
+    assert np.isfinite(float(out.total))
+
+
+def test_tal_gradients_finite(rng):
+    import jax
+
+    cfg = LossConfig(img_size=64, nc_det=2, assigner="tal")
+    (det_levels, seg_logits, cls_logits, masks, img_cls,
+     boxes, valid, _) = make_inputs(rng)
+    batch = {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid),
+             "mask": jnp.asarray(masks), "img_cls": jnp.asarray(img_cls)}
+
+    def f(dl, sl, cl):
+        return multitask_loss(
+            {"det_feats": dl, "seg_logits": sl, "cls_logits": cl},
+            batch, cfg, train=True).total
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(
+        [jnp.asarray(l) for l in det_levels], jnp.asarray(seg_logits),
+        jnp.asarray(cls_logits))
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_tal_soft_targets_bounded_by_iou(rng):
+    """The soft target ceiling equals each GT's best candidate IoU: with
+    random (low-IoU) predictions every target must sit well below 1 — the
+    saturation the hard assigner suffers cannot happen by construction."""
+    from multitask_bonetumor_yolo_tpu.losses.multitask import (
+        _assign_tal, flatten_det_levels,
+    )
+    from multitask_bonetumor_yolo_tpu.core.anchors import make_anchors
+    from multitask_bonetumor_yolo_tpu.core.boxes import (
+        box_cxcywh_to_xyxy, box_iou_matrix, dist2bbox,
+    )
+    from multitask_bonetumor_yolo_tpu.core.dfl import dfl_decode
+
+    cfg = LossConfig(img_size=64, nc_det=2, assigner="tal")
+    (det_levels, _, _, _, _, boxes, valid, _) = make_inputs(rng)
+    dist_logits, det_cls_logits = flatten_det_levels(
+        [jnp.asarray(l) for l in det_levels], cfg.reg_max)
+    anchors, strides = make_anchors(64, (8, 16, 32))
+    pred = dist2bbox(dfl_decode(dist_logits) * strides[None],
+                     (anchors * strides)[None])
+    gt_xyxy = box_cxcywh_to_xyxy(jnp.asarray(boxes[..., 1:5])) * 64
+    iou = box_iou_matrix(pred, gt_xyxy)
+    iou = jnp.where(jnp.asarray(valid)[:, None, :], iou, -1.0)
+    positive, best_gt, box_w, norm_t, avg_iou = _assign_tal(
+        iou, det_cls_logits, jnp.asarray(boxes[..., 0], jnp.int32),
+        jnp.asarray(valid), gt_xyxy, anchors * strides, cfg)
+    nt = np.asarray(norm_t)
+    pos = np.asarray(positive)
+    iou_np = np.asarray(jnp.maximum(iou, 0.0)).max(-1)
+    assert nt[pos].max() <= iou_np.max() + 1e-6
+    assert (nt[~pos] == 0).all()
+    assert 0 < float(avg_iou) < 1

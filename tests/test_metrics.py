@@ -205,3 +205,40 @@ def test_confusion_matrix_and_cls_metrics():
     assert out["precision_macro"] == pytest.approx(0.75)
     assert out["recall_macro"] == pytest.approx((2 / 3 + 1) / 2)
     assert out["f1_macro"] == pytest.approx((0.8 + 2 / 3) / 2)
+
+
+def test_mask_map_counts_path_equals_mask_path():
+    """Device-scalar mask-mAP inputs (counts) must reproduce the full-mask
+    path exactly for the one-pred/one-gt semantic case — including empty
+    predictions and empty GT."""
+    from multitask_bonetumor_yolo_tpu.metrics.segmentation import (
+        mask_map_inputs,
+        mask_map_inputs_from_counts,
+    )
+
+    rng = np.random.RandomState(3)
+    B, H = 6, 48
+    probs = rng.rand(B, H, H).astype(np.float32)
+    probs[3] = 0.0  # empty prediction
+    gt = (rng.rand(B, H, H) > 0.6).astype(np.float32)
+    gt[4] = 0.0  # empty GT
+
+    pm = probs > 0.5
+    pos = gt > 0.5
+    counts = np.stack(
+        [
+            (pm & pos).sum((1, 2)), (pm & ~pos).sum((1, 2)),
+            (~pm & pos).sum((1, 2)), (~pm & ~pos).sum((1, 2)),
+        ],
+        -1,
+    )
+    scores = (probs * pm).sum((1, 2)) / (pm.sum((1, 2)) + 1e-6)
+
+    m_mask = MeanAveragePrecision(iou_type="segm")
+    m_mask.update(*mask_map_inputs(probs, gt))
+    m_cnt = MeanAveragePrecision(iou_type="segm")
+    m_cnt.update(*mask_map_inputs_from_counts(counts, scores))
+    a, b = m_mask.compute(), m_cnt.compute()
+    for k in a:
+        if isinstance(a[k], float):
+            np.testing.assert_allclose(b[k], a[k], atol=1e-9, err_msg=k)
