@@ -159,56 +159,110 @@ def _kernel(
     wpad = dx_ref.shape[2]
     next_ = rc + 6  # rows of the extended (chunk+-3) working set
 
-    # ---- forward recompute: y_ext at rows chunk-3 .. chunk+rc+3 ----
-    # y_ext row m (global chunk_start-3+m) reads x slab rows m..m+6
-    rows_y = [
-        (
-            dwb_ref[0, :]
-            + sum(
-                xs[m + dy, dx : dx + w, :].astype(f32) * dw_ref[dy, dx, :]
-                for dy in range(7)
-                for dx in range(7)
-            )
-        )[None]
-        for m in range(next_)
-    ]
-    y = jnp.concatenate(rows_y, axis=0)  # [next, w, cpad] fp32
-    mean = y.sum(-1, keepdims=True) * (1.0 / c)
-    var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
-    r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-    z = (y - mean) * r  # pad lanes: -mean*r (inert, see module docstring)
-    z2d = (z * lns_ref[0, :] + lnb_ref[0, :]).astype(dt)
+    # Row sub-tiling: the MLP chain's fp32 live set scales with tokens, and
+    # the whole-chunk form blows the 16 MB scoped-VMEM limit beyond stage 0
+    # (observed: 20.2 M at stage 1). Process `st` rows at a time — the
+    # per-tile h1/gelu/d_h/d_z2 temporaries die at the end of each tile
+    # (static Python unroll, so Mosaic's live-range analysis frees them);
+    # only d_y [next, w, Cp] fp32 and the running parameter-grad
+    # accumulators survive tiles. Tile boundaries and the center-row
+    # intersection are all static slices.
+    st = _pick_row_tile(w, c, next_)
 
-    tok = next_ * w
-    z2f = z2d.reshape(tok, cpad)
-    h1 = (
-        jnp.dot(z2f, w1_ref[:], preferred_element_type=f32) + b1_ref[0, :]
-    )  # [tok, 4C]
-    # tanh-GELU and its derivative (shares the tanh evaluation)
-    u = 0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)
-    th = jnp.tanh(u)
-    a = h1 * 0.5 * (1.0 + th)
-    du = 0.7978845608028654 * (1.0 + 3.0 * 0.044715 * h1 * h1)
-    dgelu = 0.5 * (1.0 + th) + h1 * 0.5 * (1.0 - th * th) * du
+    d_y_tiles = []
+    accs = {}  # running parameter-grad accumulators (summed across tiles)
 
-    # ---- backward chain ----
-    gy = gs[:, 3 : 3 + w, :].astype(f32)  # [next, w, cpad]; halo cols inert
-    gyf = gy.reshape(tok, cpad)
-    do = gyf * gam_ref[0, :]
-    # d_a = do @ w2^T without an in-kernel transpose: contract the Cp dims
-    d_a = jax.lax.dot_general(
-        do.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )  # [tok, 4C]
-    d_h = d_a * dgelu
-    d_z2 = jax.lax.dot_general(
-        d_h.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )  # [tok, Cp]; pad lanes zero (w1 pad rows zero)
-    d_z = (d_z2 * lns_ref[0, :]).reshape(next_, w, cpad)
-    m1 = d_z.sum(-1, keepdims=True) * (1.0 / c)
-    m2 = (d_z * z).sum(-1, keepdims=True) * (1.0 / c)
-    d_y = r * (d_z - m1 - z * m2)  # [next, w, cpad]
+    def add(name, val):
+        accs[name] = val if name not in accs else accs[name] + val
+
+    for a0 in range(0, next_, st):
+        b0 = min(a0 + st, next_)
+        nr = b0 - a0
+        # forward recompute: y rows a0..b0 read x slab rows a0..b0+6
+        rows_y = [
+            (
+                dwb_ref[0, :]
+                + sum(
+                    xs[m + dy, dx : dx + w, :].astype(f32) * dw_ref[dy, dx, :]
+                    for dy in range(7)
+                    for dx in range(7)
+                )
+            )[None]
+            for m in range(a0, b0)
+        ]
+        y = jnp.concatenate(rows_y, axis=0)  # [nr, w, cpad] fp32
+        mean = y.sum(-1, keepdims=True) * (1.0 / c)
+        var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
+        r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+        z = (y - mean) * r  # pad lanes: -mean*r (inert, see module docstring)
+        z2d = (z * lns_ref[0, :] + lnb_ref[0, :]).astype(dt)
+
+        tok = nr * w
+        z2f = z2d.reshape(tok, cpad)
+        h1 = (
+            jnp.dot(z2f, w1_ref[:], preferred_element_type=f32) + b1_ref[0, :]
+        )  # [tok, 4C]
+        # tanh-GELU and its derivative (shares the tanh evaluation)
+        u = 0.7978845608028654 * (h1 + 0.044715 * h1 * h1 * h1)
+        th = jnp.tanh(u)
+        a = h1 * 0.5 * (1.0 + th)
+        du = 0.7978845608028654 * (1.0 + 3.0 * 0.044715 * h1 * h1)
+        dgelu = 0.5 * (1.0 + th) + h1 * 0.5 * (1.0 - th * th) * du
+
+        # backward chain
+        gy = gs[a0:b0, 3 : 3 + w, :].astype(f32)  # halo cols inert
+        gyf = gy.reshape(tok, cpad)
+        do = gyf * gam_ref[0, :]
+        # d_a = do @ w2^T without an in-kernel transpose: contract Cp dims
+        d_a = jax.lax.dot_general(
+            do.astype(dt), w2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [tok, 4C]
+        d_h = d_a * dgelu
+        d_z2 = jax.lax.dot_general(
+            d_h.astype(dt), w1_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )  # [tok, Cp]; pad lanes zero (w1 pad rows zero)
+        d_z = (d_z2 * lns_ref[0, :]).reshape(nr, w, cpad)
+        m1 = d_z.sum(-1, keepdims=True) * (1.0 / c)
+        m2 = (d_z * z).sum(-1, keepdims=True) * (1.0 / c)
+        d_y_tiles.append(r * (d_z - m1 - z * m2))  # [nr, w, cpad]
+
+        # parameter-grad contributions: center rows [3, 3+rc) only —
+        # static intersection with this tile
+        ca, cb = max(a0, 3), min(b0, 3 + rc)
+        if ca >= cb:
+            continue
+        ctr = slice((ca - a0) * w, (cb - a0) * w)
+        o_ctr = (
+            jnp.dot(a[ctr].astype(dt), w2_ref[:], preferred_element_type=f32)
+            + b2_ref[0, :]
+        )
+        add("dgam", (gyf[ctr] * o_ctr).sum(0, keepdims=True))
+        add("db2", do[ctr].sum(0, keepdims=True))
+        add(
+            "dw2",
+            jax.lax.dot_general(
+                a[ctr].astype(dt), do[ctr].astype(dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ),
+        )
+        add("db1", d_h[ctr].sum(0, keepdims=True))
+        add(
+            "dw1",
+            jax.lax.dot_general(
+                z2f[ctr], d_h[ctr].astype(dt),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ),
+        )
+        zc = z.reshape(tok, cpad)[ctr]
+        d_z2c = d_z2[ctr]
+        add("dlns", (d_z2c * zc).sum(0, keepdims=True))
+        add("dlnb", d_z2c.sum(0, keepdims=True))
+
+    d_y = jnp.concatenate(d_y_tiles, axis=0)  # [next, w, cpad] fp32
 
     # ---- dx for the center rows: correlation with flipped taps + residual
     dyp = jnp.pad(d_y, ((0, 0), (3, wpad - w - 3), (0, 0)))
@@ -229,39 +283,17 @@ def _kernel(
         d_x.astype(dx_ref.dtype), ((0, 0), (3, wpad - w - 3), (0, 0))
     )
 
-    # ---- parameter gradients (center rows only; accumulated across grid)
+    # ---- parameter gradients (accumulated across grid steps)
     def acc(ref, val):
         ref[...] = jnp.where(g == 0, val, ref[...] + val)
 
-    ctr = slice(3 * w, (3 + rc) * w)  # center-token slice of [tok, ...]
-    o_ctr = (
-        jnp.dot(a[ctr].astype(dt), w2_ref[:], preferred_element_type=f32)
-        + b2_ref[0, :]
-    )
-    gy_ctr = gyf[ctr]
-    acc(dgam_ref, (gy_ctr * o_ctr).sum(0, keepdims=True))
-    acc(db2_ref, do[ctr].sum(0, keepdims=True))
-    acc(
-        dw2_ref,
-        jax.lax.dot_general(
-            a[ctr].astype(dt), do[ctr].astype(dt),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ),
-    )
-    acc(db1_ref, d_h[ctr].sum(0, keepdims=True))
-    acc(
-        dw1_ref,
-        jax.lax.dot_general(
-            z2f[ctr], d_h[ctr].astype(dt),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ),
-    )
-    zc = z.reshape(tok, cpad)[ctr]
-    d_z2c = d_z2[ctr]
-    acc(dlns_ref, (d_z2c * zc).sum(0, keepdims=True))
-    acc(dlnb_ref, d_z2c.sum(0, keepdims=True))
+    acc(dgam_ref, accs["dgam"])
+    acc(db2_ref, accs["db2"])
+    acc(dw2_ref, accs["dw2"])
+    acc(db1_ref, accs["db1"])
+    acc(dw1_ref, accs["dw1"])
+    acc(dlns_ref, accs["dlns"])
+    acc(dlnb_ref, accs["dlnb"])
     d_y_ctr = d_y[3 : 3 + rc]
     acc(ddwb_ref, d_y_ctr.sum((0, 1))[None])
     # filter grad: dK[dy,dx] = sum over center tokens of x[..+dy, ..+dx]*d_y
@@ -277,20 +309,30 @@ def _kernel(
     acc(ddw_ref, jnp.stack(taps, 0))
 
 
+def _pick_row_tile(w: int, c: int, next_: int) -> int:
+    """Rows per MLP sub-tile inside a chunk: bound the fp32 [st*w, 4c]
+    temporaries (~5 live at once) to ~6 MB and keep the matmul M dimension
+    (st*w tokens) <= ~512."""
+    by_mem = max(1, int(6e6) // (w * 4 * c * 4 * 5))
+    by_m = max(1, 512 // w)
+    return max(1, min(next_, by_mem, by_m))
+
+
 def _pick_rc(h: int, w: int, c: int, dtype_bytes: int) -> int:
     """Largest correct divisor fitting VMEM; interior chunks need rc >= 6
     (the x slab's +-6 halo)."""
-    budget = 11 * 1024 * 1024
+    budget = 12 * 1024 * 1024
     cpad = -(-c // 128) * 128
     wpad = -(-(w + 6) // 8) * 8
 
     def vmem(rc):
         nxt = rc + 6
+        st = _pick_row_tile(w, c, nxt)
         slabs = (2 * (rc + 12) + 2 * nxt) * wpad * cpad * dtype_bytes
-        chain = 3 * nxt * w * cpad * 4  # y/z/d_y-scale fp32 live sets
-        mlp = 3 * nxt * w * 4 * c * 4  # h1/a-dgelu/d_h-scale fp32
+        dy = 2 * nxt * wpad * cpad * 4  # d_y + its padded copy for dx
+        tile = 3 * st * w * cpad * 4 + 5 * st * w * 4 * c * 4
         wts = 2 * cpad * 4 * c * (dtype_bytes + 4)  # weights + grad accums
-        return slabs + chain + mlp + wts
+        return slabs + dy + tile + wts
 
     correct = [rc for rc in range(1, h + 1)
                if h % rc == 0 and (h // rc <= 2 or rc >= 6)]

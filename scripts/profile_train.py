@@ -65,6 +65,15 @@ def main():
     def report(name, ms, note=""):
         print(f"  {name:<52s} {ms:8.3f} ms  {note}", flush=True)
 
+    def timed(body, iters=args.iters):
+        """_timeloop, but a compile failure (e.g. kernel VMEM OOM) reports
+        -1 instead of killing the whole attribution run."""
+        try:
+            return _timeloop(body, iters)
+        except Exception as e:  # noqa: BLE001
+            print(f"    FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            return -1.0
+
     cfg = ModelConfig(img_size=S, dtype="bfloat16")
     model = MultitaskModel(cfg)
     loss_cfg = LossConfig(img_size=S)
@@ -91,8 +100,13 @@ def main():
             b["image"] = ((x0 + i.astype(jnp.float32) * 1e-6) * 255).astype(
                 jnp.uint8
             )
-            _, metrics, _ = step_nodonate(state, b, jax.random.PRNGKey(0))
-            return metrics["loss_total"]
+            new_state, metrics, _ = step_nodonate(state, b, jax.random.PRNGKey(0))
+            # Depend on EVERY updated leaf or XLA dead-code-eliminates the
+            # backward + optimizer (observed: 29 ms "full step" < 109 ms fwd+bwd).
+            return metrics["loss_total"] + sum(
+                jnp.sum(p).astype(jnp.float32)
+                for p in jax.tree.leaves(new_state.params)
+            ) * 1e-12
 
         report("FULL train step (fwd+bwd+AdamW, no donate)",
                _timeloop(full_body, args.iters))
@@ -133,6 +147,46 @@ def main():
             return multitask_loss(out, {**gt, "image": x}, loss_cfg, True).total
 
         report("forward + loss only", _timeloop(fwd_body, args.iters))
+
+        # ---------------- forward only, no loss ---------------------------
+        def fwd_noloss_body(i):
+            x = x0 + i.astype(jnp.float32) * 1e-6
+            out, _ = model.apply(
+                {"params": params, "batch_stats": stats}, x,
+                train=True, mode="train", mutable=["batch_stats"],
+            )
+            return sum(
+                jnp.sum(v).astype(jnp.float32)
+                for v in jax.tree.leaves(out)
+            )
+
+        report("forward only (train mode, no loss)",
+               timed(fwd_noloss_body))
+
+        # ---------------- loss fwd+bwd only (frozen model outputs) --------
+        out0, _ = jax.jit(
+            lambda x: model.apply(
+                {"params": params, "batch_stats": stats}, x,
+                train=True, mode="train", mutable=["batch_stats"],
+            )
+        )(x0)
+
+        def loss_grad_body(i):
+            o = jax.tree.map(
+                lambda v: v + i.astype(v.dtype) * jnp.asarray(1e-6, v.dtype),
+                out0,
+            )
+            g = jax.grad(
+                lambda oo: multitask_loss(
+                    oo, {**gt, "image": x0}, loss_cfg, True
+                ).total
+            )(o)
+            return sum(
+                jnp.sum(v).astype(jnp.float32) for v in jax.tree.leaves(g)
+            )
+
+        report("loss fwd+bwd only (vs frozen outputs)",
+               timed(loss_grad_body))
 
         # ---------------- optimizer update only ---------------------------
         zgrads = jax.tree.map(jnp.zeros_like, params)
@@ -176,11 +230,9 @@ def main():
             return sum(x.sum().astype(jnp.float32) for x in jax.tree.leaves(g))
 
         # default: Pallas fwd + vjp-of-XLA-reference bwd (custom_vjp path)
-        d_ms = _timeloop(functools.partial(grad_body, fn=convnext_block),
-                         args.iters)
+        d_ms = timed(functools.partial(grad_body, fn=convnext_block))
         # pure-XLA fwd+bwd
-        r_ms = _timeloop(functools.partial(grad_body, fn=convnext_block_ref),
-                         args.iters)
+        r_ms = timed(functools.partial(grad_body, fn=convnext_block_ref))
 
         # fused: Pallas fwd + ONE-kernel Pallas bwd, called directly
         def fused_body(i):
@@ -194,7 +246,7 @@ def main():
                 t.sum().astype(jnp.float32) for t in jax.tree.leaves(g)
             ) + y.sum().astype(jnp.float32)
 
-        f_ms = _timeloop(fused_body, args.iters)
+        f_ms = timed(fused_body)
         tot_def += d_ms * depth
         tot_fused += f_ms * depth
         tot_ref += r_ms * depth
@@ -224,7 +276,7 @@ def main():
         g = jax.grad(f)(bvars["params"])
         return sum(t.sum().astype(jnp.float32) for t in jax.tree.leaves(g))
 
-    report("BACKBONE fwd+bwd (trunk + C2f)", _timeloop(bb_grad, args.iters))
+    report("BACKBONE fwd+bwd (trunk + C2f)", timed(bb_grad))
 
     feats0 = [
         jnp.asarray(np.random.rand(B, S // 8, S // 8, 256), dt),
@@ -247,7 +299,7 @@ def main():
         g = jax.grad(f)(nvars["params"])
         return sum(t.sum().astype(jnp.float32) for t in jax.tree.leaves(g))
 
-    report("BiFPN x2 fwd+bwd", _timeloop(neck_grad, args.iters))
+    report("BiFPN x2 fwd+bwd", timed(neck_grad))
 
     pfeats = [
         jnp.asarray(np.random.rand(B, S // 8, S // 8, 256), dt),
@@ -272,7 +324,7 @@ def main():
         g = jax.grad(f)(svars["params"])
         return sum(t.sum().astype(jnp.float32) for t in jax.tree.leaves(g))
 
-    report("Segment head fwd+bwd", _timeloop(seg_grad, args.iters))
+    report("Segment head fwd+bwd", timed(seg_grad))
 
     det = DetectHead(nc=2, ch0=256, reg_max=16, dtype=dt)
     dvars = jax.jit(lambda k: det.init(k, pfeats, True))(key)
@@ -290,7 +342,7 @@ def main():
         g = jax.grad(f)(dvars["params"])
         return sum(t.sum().astype(jnp.float32) for t in jax.tree.leaves(g))
 
-    report("Detect head fwd+bwd", _timeloop(det_grad, args.iters))
+    report("Detect head fwd+bwd", timed(det_grad))
 
 
 if __name__ == "__main__":
