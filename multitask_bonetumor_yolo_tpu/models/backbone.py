@@ -29,6 +29,47 @@ TINY_DEPTHS = (3, 3, 9, 3)
 TINY_DIMS = (96, 192, 384, 768)
 
 
+class PatchifyConv(nn.Module):
+    """Non-overlapping strided conv (kernel == stride) as space-to-depth +
+    matmul.
+
+    The ConvNeXt stem (4x4/4) and stage downsamples (2x2/2) are patch
+    embeds; XLA:TPU lowers them as general convolutions, which is
+    pathological for the stem's 3-channel input (lanes pad 3 -> 128, and the
+    filter gradient is scalarised): measured 0.58 ms fwd / 1.06 ms fwd+bwd
+    at batch 8 vs 0.12 / ~0.2 ms for this form.  Reshaping x to
+    [B, H/k, W/k, k*k*C] makes both the forward and the filter gradient a
+    single dense MXU matmul.  The parameter is IDENTICAL to nn.Conv's
+    ([k, k, C, F] + bias, same init), so checkpoints and the timm import
+    manifest are unaffected.
+    """
+
+    features: int
+    patch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, f = self.patch, self.features
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, c, f),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        if h % k or w % k:  # odd sizes: valid-conv semantics == crop
+            x = x[:, : h - h % k, : w - w % k]
+            b, h, w, c = x.shape
+        p = x.reshape(b, h // k, k, w // k, k, c)
+        p = p.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // k, w // k, k * k * c)
+        km = kernel.reshape(k * k * c, f).astype(self.dtype)
+        y = jnp.dot(p.astype(self.dtype), km,
+                    preferred_element_type=jnp.float32)
+        return (y + bias).astype(self.dtype)
+
+
 class LayerNorm(nn.Module):
     """Channels-last LayerNorm in fp32 (ConvNeXt uses eps 1e-6)."""
 
@@ -52,6 +93,23 @@ def _use_pallas(pallas: str, dim: int) -> bool:
     return pallas == "on" or (
         pallas == "auto" and jax.default_backend() not in ("cpu",)
     )
+
+
+def _bwd_for_dim(dim: int) -> str:
+    """Backward-path policy per stage width (measured, BASELINE.md round-3
+    table): the one-kernel fused Pallas backward wins at the wide spatial
+    stages, while the vjp-of-XLA-reference wins at 40^2/20^2 where the
+    kernel's per-row expressions are overhead-bound. Override with
+    CNB_BWD=fused|ref (applies to all stages)."""
+    import os
+
+    ov = os.environ.get("CNB_BWD", "")
+    if ov in ("fused", "ref"):
+        return ov
+    # stage-0 chain measured 18.1 ms fused vs 29.1 ms ref (bisect, r3);
+    # the stage-1 fused chain currently crashes the TPU compiler and
+    # stages 2-3 measured slower fused, so they stay on the reference vjp.
+    return "fused" if dim <= 96 else "ref"
 
 
 class ConvNeXtBlock(nn.Module):
@@ -98,12 +156,25 @@ class ConvNeXtBlock(nn.Module):
         if padded_hw is not None:
             w_real, c_real = padded_hw
             assert c_real == c
-            return convnext_block_padded(*args, w_real, c_real)
+            return convnext_block_padded(
+                *args, w_real, c_real, 1e-6, False, 0, _bwd_for_dim(c)
+            )
         return convnext_block_ref(*args)
 
 
 class ConvNeXtFeatures(nn.Module):
-    """ConvNeXt trunk returning stage outputs selected by ``out_indices``."""
+    """ConvNeXt trunk returning stage outputs selected by ``out_indices``.
+
+    Execution policy (measured in BASELINE.md round-3):
+      * eval / inference: the fused Pallas forward on every stage (fastest
+        forward everywhere);
+      * training: Pallas forward + one-kernel Pallas backward where the
+        backward kernel wins (stage 0), pure-XLA blocks elsewhere — the
+        custom_vjp(reference) backward re-runs the whole forward in XLA
+        during the backward pass, which measured ~1.9 ms/block slower than
+        letting XLA keep its own intermediates (72.6 vs 64.3 ms trunk
+        fwd+bwd).  Numerics: the Pallas forward's tanh-GELU deviates from
+        the XLA erf-GELU by ~3e-4, below bf16 noise (tests pin both)."""
 
     depths: Sequence[int] = TINY_DEPTHS
     dims: Sequence[int] = TINY_DIMS
@@ -112,23 +183,18 @@ class ConvNeXtFeatures(nn.Module):
     pallas: str = "auto"
 
     @nn.compact
-    def __call__(self, x) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
         from ..ops.pallas.convnext_block import pad_for_blocks, unpad_from_blocks
 
         outs = []
         for i, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if i == 0:
-                x = nn.Conv(
-                    dim, (4, 4), strides=(4, 4),
-                    dtype=self.dtype, param_dtype=jnp.float32, name="stem_conv",
-                )(x)
+                x = PatchifyConv(dim, 4, dtype=self.dtype, name="stem_conv")(x)
                 x = LayerNorm(dtype=self.dtype, name="stem_norm")(x)
             else:
                 x = LayerNorm(dtype=self.dtype, name=f"downsample_norm{i}")(x)
-                x = nn.Conv(
-                    dim, (2, 2), strides=(2, 2),
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name=f"downsample_conv{i}",
+                x = PatchifyConv(
+                    dim, 2, dtype=self.dtype, name=f"downsample_conv{i}"
                 )(x)
             blocks = [
                 ConvNeXtBlock(
@@ -137,7 +203,9 @@ class ConvNeXtFeatures(nn.Module):
                 )
                 for j in range(depth)
             ]
-            if _use_pallas(self.pallas, dim):
+            if _use_pallas(self.pallas, dim) and not (
+                train and _bwd_for_dim(dim) == "ref"
+            ):
                 # chain the stage's blocks in the kernel's padded layout:
                 # one XLA pad + one slice per stage instead of per block
                 w_real, c_real = x.shape[2], x.shape[3]
@@ -170,7 +238,7 @@ class ConvNeXtTiny(nn.Module):
         p3, p4, p5 = ConvNeXtFeatures(
             depths=self.depths, dims=self.dims,
             dtype=self.dtype, pallas=self.pallas, name="trunk"
-        )(x)
+        )(x, train)
         bm = self.bn_momentum
         cp3 = C2f(256, dtype=self.dtype, bn_momentum=bm, name="c2f_p3")(p3, train)
         cp4 = C2f(384, dtype=self.dtype, bn_momentum=bm, name="c2f_p4")(p4, train)

@@ -61,9 +61,11 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = True, *, conv_input: bool = True
+    ) -> jnp.ndarray:
         p = autopad(self.kernel_size, None, self.dilation)
-        x = nn.Conv(
+        conv = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.strides, self.strides),
@@ -73,7 +75,14 @@ class ConvBN(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-        )(x)
+        )
+        if conv_input:
+            x = conv(x)
+        else:
+            # caller already applied (a composition of) this conv's kernel,
+            # read via self.variables — e.g. the Proto phase fusion. The
+            # dummy call only CREATES the params; in_ch comes from x.
+            _ = conv(jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype))
         # BN statistics in fp32 for stability; result cast back to compute dtype.
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -51,7 +51,7 @@ class HeadConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, *, conv_input: bool = True):
         return ConvBN(
             self.features,
             self.kernel_size,
@@ -61,7 +61,7 @@ class HeadConv(nn.Module):
             bn_momentum=BN_MOMENTUM_HEAD,
             bn_eps=BN_EPS_HEAD,
             dtype=self.dtype,
-        )(x, train)
+        )(x, train, conv_input=conv_input)
 
 
 def _final_conv(features: int, bias_value, dtype, name: str):
@@ -169,13 +169,38 @@ class Proto(nn.Module):
         )
 
         x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv1")(x, train)
-        if train or self.is_initializing():
+        if self.is_initializing():
             x = nn.ConvTranspose(
                 self.npr, (2, 2), strides=(2, 2), use_bias=True,
                 dtype=self.dtype, param_dtype=jnp.float32, name="upsample",
             )(x)
             x = HeadConv(self.npr, 3, dtype=self.dtype, name="cv2")(x, train)
             return HeadConv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train)
+
+        if train:
+            # train fast path: same phase composition as eval (the 483 GF
+            # 3x3-at-2x conv becomes 215 GF of 2x2 phase convs; gradients
+            # flow through the composite kernels), with cv2/cv3 run as
+            # MODULES on the phase-stacked tensor so BatchNorm's train-mode
+            # batch statistics and running-stat updates are exact: the mean
+            # and (biased) variance over the 4 stacked phases at H x W equal
+            # those over the full 2H x 2W map, element-for-element.
+            p = self.variables["params"]
+            phases = fused_upsample_conv3x3_phases(
+                x,
+                p["upsample"]["kernel"],
+                p["upsample"]["bias"],
+                p["cv2"]["ConvBN_0"]["Conv_0"]["kernel"],
+            )
+            keys = [(0, 0), (0, 1), (1, 0), (1, 1)]
+            stacked = jnp.concatenate([phases[k] for k in keys], axis=0)
+            z = HeadConv(self.npr, 3, dtype=self.dtype, name="cv2")(
+                stacked, train, conv_input=False
+            )
+            z = HeadConv(self.nm, 1, dtype=self.dtype, name="cv3")(z, train)
+            b = x.shape[0]
+            out_phases = {k: z[i * b : (i + 1) * b] for i, k in enumerate(keys)}
+            return shuffle_phases(out_phases)
 
         # eval fast path: upsample+cv2.conv composed at LOW resolution; BN,
         # SiLU and the 1x1 cv3 are per-pixel, so they also run per-phase and

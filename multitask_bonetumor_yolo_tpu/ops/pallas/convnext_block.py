@@ -318,7 +318,7 @@ def unpad_from_blocks(x_pad: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
     return x_pad[:, :, 3 : 3 + w, :c]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def convnext_block_padded(
     x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     w: int,
@@ -326,12 +326,18 @@ def convnext_block_padded(
     eps: float = 1e-6,
     interpret: bool = False,
     row_chunk: int = 0,
+    bwd: str = "ref",
 ):
     """Fused ConvNeXt block on the padded chained layout [B, H, wpad, cpad]
-    (Pallas forward, XLA-reference backward). ``w``/``c`` are the real
+    (Pallas forward; backward selected by ``bwd``). ``w``/``c`` are the real
     spatial width / channel count inside the padding. ``row_chunk=0`` picks
     the largest VMEM-fitting divisor of H (tests override it to force the
-    multi-chunk pipeline on small shapes)."""
+    multi-chunk pipeline on small shapes).
+
+    ``bwd``: "ref" = vjp of the XLA reference (recomputes the forward in
+    XLA); "fused" = the one-kernel Pallas backward
+    (ops/pallas/convnext_block_bwd.py). Measured per stage in BASELINE.md —
+    models/backbone.py picks per dim."""
     return _forward_padded(
         x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         w, c, eps, interpret, row_chunk,
@@ -424,7 +430,7 @@ def _forward_padded(
 
 
 def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
-                gamma, w, c, eps, interpret, row_chunk):
+                gamma, w, c, eps, interpret, row_chunk, bwd):
     out = _forward_padded(
         x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         w, c, eps, interpret, row_chunk,
@@ -433,7 +439,7 @@ def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
                  b2, gamma)
 
 
-def _bwd_padded(w, c, eps, interpret, row_chunk, residuals, g):
+def _bwd_padded(w, c, eps, interpret, row_chunk, bwd, residuals, g):
     """Explicit backward: the depthwise convs (forward-y recompute and the
     input-gradient correlation) run as the Pallas dwconv kernel — XLA's
     depthwise lowering is the slow piece of a vjp-of-reference backward —
@@ -442,7 +448,7 @@ def _bwd_padded(w, c, eps, interpret, row_chunk, residuals, g):
     tests/test_pallas_convnext.py::test_kernel_gradients_match_reference)."""
     from .dwconv import dwconv7
 
-    if _FUSED_BWD:
+    if _FUSED_BWD or bwd == "fused":
         from .convnext_block_bwd import fused_block_bwd
 
         return fused_block_bwd(
@@ -567,6 +573,7 @@ def convnext_block(
     eps: float = 1e-6,
     interpret: bool = False,
     row_chunk: int = 0,
+    bwd: str = "ref",
 ):
     """Fused ConvNeXt block on the plain [B, H, W, C] layout.
 
@@ -576,6 +583,6 @@ def convnext_block(
     _, _, w, c = x.shape
     out = convnext_block_padded(
         pad_for_blocks(x), dw_kernel, dw_bias, ln_scale, ln_bias,
-        w1, b1, w2, b2, gamma, w, c, eps, interpret, row_chunk,
+        w1, b1, w2, b2, gamma, w, c, eps, interpret, row_chunk, bwd,
     )
     return unpad_from_blocks(out, w, c)

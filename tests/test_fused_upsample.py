@@ -108,6 +108,53 @@ def test_proto_eval_fused_matches_manual_unfused(rng):
     )
 
 
+def test_proto_train_phase_fusion_matches_unfused_modules(rng):
+    """The train-mode phase-fused Proto == the literal ConvTranspose -> cv2
+    -> cv3 module chain in train mode: same outputs AND the same BatchNorm
+    batch-statistics updates (the stacked-phase mean/var over 4 phases at
+    H x W is exactly the full-map mean/var at 2H x 2W)."""
+    import flax.linen as nn
+    from multitask_bonetumor_yolo_tpu.models.heads import HeadConv, Proto
+
+    x = jnp.asarray(rng.randn(2, 8, 8, 12).astype(np.float32))
+    proto = Proto(npr=12, nm=4)
+    v = proto.init(jax.random.PRNGKey(0), x, True)
+    params, stats = v["params"], v["batch_stats"]
+    got, upd = proto.apply(
+        {"params": params, "batch_stats": stats}, x, True,
+        mutable=["batch_stats"],
+    )
+
+    cv1 = HeadConv(12, 3)
+    z, u1 = cv1.apply(
+        {"params": params["cv1"], "batch_stats": stats["cv1"]}, x, True,
+        mutable=["batch_stats"],
+    )
+    up = nn.ConvTranspose(12, (2, 2), strides=(2, 2), use_bias=True)
+    z = up.apply({"params": params["upsample"]}, z)
+    cv2 = HeadConv(12, 3)
+    z, u2 = cv2.apply(
+        {"params": params["cv2"], "batch_stats": stats["cv2"]}, z, True,
+        mutable=["batch_stats"],
+    )
+    cv3 = HeadConv(4, 1)
+    want, u3 = cv3.apply(
+        {"params": params["cv3"], "batch_stats": stats["cv3"]}, z, True,
+        mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2
+    )
+    for name, u in [("cv1", u1), ("cv2", u2), ("cv3", u3)]:
+        for leaf, wleaf in zip(
+            jax.tree.leaves(upd["batch_stats"][name]),
+            jax.tree.leaves(u["batch_stats"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(wleaf), atol=2e-3, rtol=2e-3
+            )
+
+
 def test_proto_eval_fused_equals_unfused_linear_part(rng):
     """With BN neutralised (running stats = identity), fused eval equals a
     manual unfused recomputation."""
