@@ -106,10 +106,12 @@ def _bwd_for_dim(dim: int) -> str:
     ov = os.environ.get("CNB_BWD", "")
     if ov in ("fused", "ref"):
         return ov
-    # stage-0 chain measured 18.1 ms fused vs 29.1 ms ref (bisect, r3);
-    # the stage-1 fused chain currently crashes the TPU compiler and
-    # stages 2-3 measured slower fused, so they stay on the reference vjp.
-    return "fused" if dim <= 96 else "ref"
+    # v2 fused backward (saved-y residual) 3-block-chain fwd+bwd at batch
+    # 8 (BASELINE.md round-3): s0 16.2 ms (ref 29.1), s1 9.9 (12.0),
+    # s2 5.3 (~5.8), s3 6.3 (~4.4) — fused wins through 384 channels; the
+    # 20x20x768 stage's small-W row expressions stay overhead-bound, so it
+    # trains as pure-XLA blocks.
+    return "fused" if dim <= 384 else "ref"
 
 
 class ConvNeXtBlock(nn.Module):

@@ -117,9 +117,8 @@ def _kernel(
     w2_ref,  # [4C, Cp]   (gamma pre-folded)
     b2_ref,  # [1, Cp]    (gamma pre-folded)
     out_ref,  # [1, RC, wpad, Cp] VMEM block
-    slab,  # scratch VMEM [2, RC+6, wpad, Cp] double-buffered input windows
-    sem,  # DMA semaphores (2,)
-    *,
+    *rest,  # with save_res: y_ref [1,RC,wpad,Cp] (pre-LN dwconv output);
+    # then slab scratch [2, RC+6, wpad, Cp] and DMA semaphores (2,)
     rc: int,
     w: int,
     c: int,
@@ -127,7 +126,13 @@ def _kernel(
     nrows: int,
     nsplit: int,
     eps: float,
+    save_res: bool = False,
 ):
+    if save_res:
+        y_ref, slab, sem = rest
+    else:
+        y_ref = None
+        slab, sem = rest
     g = pl.program_id(0)  # flattened (image, row-chunk) id
     total = pl.num_programs(0)
 
@@ -248,7 +253,16 @@ def _kernel(
         mean = y.sum(-1, keepdims=True) * (1.0 / c)
         var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
         r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-        return (y * r - mean * r).astype(dt)
+        z = (y * r - mean * r).astype(dt)
+        if save_res:
+            # backward residual: the dwconv+bias output y (pre-LN). The
+            # backward recomputes the LN moments from it (cheap keepdims
+            # lane reductions) instead of re-running the 49-tap dwconv —
+            # the expensive part of a recompute-based backward.
+            y_ref[0, r0 : r0 + gr] = jnp.pad(
+                y.astype(dt), ((0, 0), (3, wpad - w - 3), (0, 0))
+            )
+        return z
 
     def mlp_out(z, r0):
         rows = z.reshape(gr * w, cpad)
@@ -347,6 +361,7 @@ def convnext_block_padded(
 def _forward_padded(
     x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     w: int, c: int, eps: float, interpret: bool, row_chunk: int = 0,
+    save_res: bool = False,
 ):
     b, h, wpad, cpad = x_pad.shape
     assert wpad == -(-(w + 6) // 8) * 8 and cpad == -(-c // 128) * 128, (
@@ -390,15 +405,30 @@ def _forward_padded(
         nsplit = 1
     kern = functools.partial(
         _kernel, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, nsplit=nsplit,
-        eps=eps,
+        eps=eps, save_res=save_res,
     )
 
     def out_index(g):
         return (g // nrows, g % nrows, 0, 0)
 
+    out_shape = jax.ShapeDtypeStruct((b, h, wpad, cpad), x_pad.dtype)
+    out_spec = pl.BlockSpec(
+        (1, rc, wpad, cpad), out_index, memory_space=pltpu.VMEM
+    )
+    if save_res:
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((b, h, wpad, cpad), x_pad.dtype),  # y
+        )
+        out_spec = (
+            out_spec,
+            pl.BlockSpec(
+                (1, rc, wpad, cpad), out_index, memory_space=pltpu.VMEM
+            ),
+        )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, h, wpad, cpad), x_pad.dtype),
+        out_shape=out_shape,
         grid=(total,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x_pad stays in HBM
@@ -409,14 +439,17 @@ def _forward_padded(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, rc, wpad, cpad), out_index, memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, rc + 6, wpad, cpad), x_pad.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        # the save_res variant's extra out blocks can exceed the 16 MB
+        # default scoped-VMEM cap at large row chunks; v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * c * (49 + 8 * c),
             bytes_accessed=2 * b * h * wpad * cpad * 2,
@@ -431,6 +464,16 @@ def _forward_padded(
 
 def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
                 gamma, w, c, eps, interpret, row_chunk, bwd):
+    if bwd == "fused":
+        # residual-saving forward: the dwconv output y rides along so the
+        # backward kernel skips the 49-tap forward recompute (the LN
+        # moments are recomputed from y — cheap lane reductions)
+        out, y = _forward_padded(
+            x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
+            gamma, w, c, eps, interpret, row_chunk, save_res=True,
+        )
+        return out, (x_pad, y, dw_kernel, dw_bias, ln_scale, ln_bias,
+                     w1, b1, w2, b2, gamma)
     out = _forward_padded(
         x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         w, c, eps, interpret, row_chunk,
@@ -448,7 +491,15 @@ def _bwd_padded(w, c, eps, interpret, row_chunk, bwd, residuals, g):
     tests/test_pallas_convnext.py::test_kernel_gradients_match_reference)."""
     from .dwconv import dwconv7
 
-    if _FUSED_BWD or bwd == "fused":
+    if bwd == "fused":
+        from .convnext_block_bwd import fused_block_bwd_v2
+
+        x_pad, y, *params = residuals
+        return fused_block_bwd_v2(
+            x_pad, y, g, *params, w=w, c=c, eps=eps, interpret=interpret,
+        )
+
+    if _FUSED_BWD:
         from .convnext_block_bwd import fused_block_bwd
 
         return fused_block_bwd(

@@ -139,6 +139,42 @@ def test_dwconv7_multichunk_matches_lax(rng):
                                    atol=1e-4)
 
 
+def test_fused_bwd_v2_custom_vjp_matches_ref(rng):
+    """grad through convnext_block with bwd='fused' (the residual-saving
+    forward + v2 one-kernel backward) vs grad of the XLA reference, with
+    several row-chunks per image."""
+    args = make_args(rng, b=2, h=24, w=8, c=16)
+
+    def loss_fused(*a):
+        return jnp.sum(convnext_block(*a, 1e-6, True, 6, "fused") ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(convnext_block_ref(*a) ** 2)
+
+    gp = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=5e-3)
+
+
+def test_fused_bwd_v2_single_chunk(rng):
+    """v2 backward with one chunk per image (nrows=1 halo case)."""
+    args = make_args(rng, b=1, h=8, w=8, c=16)
+
+    def loss_fused(*a):
+        return jnp.sum(convnext_block(*a, 1e-6, True, 0, "fused"))
+
+    def loss_ref(*a):
+        return jnp.sum(convnext_block_ref(*a))
+
+    gp = jax.grad(loss_fused, argnums=(0, 1, 3, 5, 7, 9))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 3, 5, 7, 9))(*args)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3,
+                                   rtol=5e-3)
+
+
 def test_fused_bwd_multichunk_matches_ref_vjp(rng):
     """The fully-fused backward kernel vs jax.vjp of the reference, with
     several row-chunks per image (first/interior/last halo DMA cases)."""
