@@ -237,13 +237,17 @@ def bench_eval_pipeline(batch: int, img: int, n_images: int = 64):
     exp = ExperimentConfig(model=model_cfg, data=data_cfg, loss=loss_cfg,
                            train=train_cfg, run_dir="")
 
+    from multitask_bonetumor_yolo_tpu.parallel import BatchPacker
+
+    packer = BatchPacker()
+
     def run_epoch():
         vm = ValidationMetrics(exp)
         loader = BTXRDLoader(ds, batch, pad_last=True)
         n = 0
         for b, jb in Prefetcher(
             loader,
-            map_fn=lambda bt: (bt, {k: jnp.asarray(v) for k, v in bt.items()}),
+            map_fn=lambda bt: (bt, packer(bt)),
         ):
             m, aux = eval_step(state, jb)
             vm.update(m, aux, b)

@@ -25,6 +25,7 @@ from ..data import BTXRD, BTXRDLoader, DataConfig
 from ..data.dataset import Prefetcher
 from ..losses import LossConfig
 from ..models import ModelConfig
+from ..parallel import BatchPacker
 from ..train import CheckpointManager, TrainConfig, create_train_state, make_eval_step
 from ..train.loop import ExperimentConfig, ValidationMetrics
 from ..utils.logging import RunLogger
@@ -61,9 +62,10 @@ def evaluate(args) -> dict:
     )
     logger = RunLogger(args.run_dir, args.wandb_project)
     first = True
+    packer = BatchPacker()
     for batch, jbatch in Prefetcher(
         loader,
-        map_fn=lambda b: (b, {k: jnp.asarray(v) for k, v in b.items()}),
+        map_fn=lambda b: (b, packer(b)),
     ):
         metrics, aux = eval_step(state, jbatch)
         vm.update(metrics, aux, batch)

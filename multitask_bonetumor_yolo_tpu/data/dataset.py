@@ -22,7 +22,7 @@ vectorize and jit never re-traces:
   image     uint8  [B, S, S, 3]   RGB letterboxed (normalised on device)
   boxes     f32    [B, M, 5]      (cls, xc, yc, w, h) normalised to [0,1]
   box_valid bool   [B, M]
-  mask      f32    [B, S, S, 1]   binary
+  mask      u8     [B, S, S, 1]   binary {0,1}
   img_cls   int32  [B]
   id        int32  [B]
 """
@@ -166,7 +166,10 @@ class BTXRD:
         canvas[:nh, :nw] = img_r
         mask_canvas = np.zeros((S, S), mask.dtype)
         mask_canvas[:nh, :nw] = mask_r
-        mask_bin = (mask_canvas > 0).astype(np.float32)[..., None]
+        # uint8 {0,1} (not f32): an 8x smaller host->device payload; every
+        # consumer casts/thresholds on device (losses/multitask.py:205,
+        # train/steps.py:128)
+        mask_bin = (mask_canvas > 0).astype(np.uint8)[..., None]
 
         rows = []
         for line in Path(it["txt"]).read_text().splitlines():

@@ -47,6 +47,16 @@ import os
 
 # experimentation hooks (read once at import; defaults = production choice)
 _NSPLIT_OVERRIDE = int(os.environ.get("CNB_NSPLIT", "0"))
+
+
+def _ln_mxu() -> bool:
+    """LN-moment path: '0' = VPU cross-lane reductions (default), '1' =
+    sums via ``y @ ones`` MXU matmuls. Measured (scripts/bench_block.py,
+    batch 8 @640): the MXU form LOSES at every stage width — 1.53→1.59 ms
+    stage0, 0.30→0.38 ms stage3 — the two extra full-slab MXU reads cost
+    more than the ~7-step VPU shuffle tree they replace. Kept as an
+    experiment hook only."""
+    return os.environ.get("CNB_LN_MXU", "0") == "1"
 _EXPLICIT_BWD = bool(os.environ.get("CNB_EXPLICIT_BWD", ""))
 _FUSED_BWD = bool(os.environ.get("CNB_FUSED_BWD", ""))
 
@@ -250,8 +260,21 @@ def _kernel(
         # hold -mean*rsqrt garbage, but the folded w1's pad ROWS are zero,
         # so fc1 annihilates them (and the out block's pad lanes come from
         # resid + o, both zero there).
-        mean = y.sum(-1, keepdims=True) * (1.0 / c)
-        var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
+        if _ln_mxu():
+            # moments via MXU: a cross-lane sum on the VPU is a ~7-step
+            # shuffle tree per row; y @ ones gets both sums as two tiny
+            # fp32 matmuls the MXU absorbs while the VPU holds the data hot
+            # (pad lanes of y are zero, so summing all cpad lanes is exact)
+            flat = y.reshape(gr * w, cpad)
+            ones = jnp.ones((cpad, 128), jnp.float32)
+            s1 = jnp.dot(flat, ones, preferred_element_type=jnp.float32)
+            s2 = jnp.dot(flat * flat, ones,
+                         preferred_element_type=jnp.float32)
+            mean = (s1[:, :1] * (1.0 / c)).reshape(gr, w, 1)
+            var = (s2[:, :1] * (1.0 / c)).reshape(gr, w, 1) - mean * mean
+        else:
+            mean = y.sum(-1, keepdims=True) * (1.0 / c)
+            var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
         r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
         z = (y * r - mean * r).astype(dt)
         if save_res:

@@ -47,14 +47,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Device-put every array with its leading dim sharded over 'data'.
+    """Upload a host batch with each leaf's leading dim sharded over 'data'.
 
     The leading (batch) dim must divide the data-axis size — the Trainer
     guarantees this by scaling the global batch to per-device x n_devices
     (reference analogue: Lightning DDP's per-process batch_size,
     running_main_v3.py:746-766, :824-828) and by pad_last batches being
     padded to the full global batch. Anything else fails loudly here rather
-    than deep inside device_put."""
+    than deep inside device_put.
+
+    The upload rides ONE packed transfer (parallel/pack.py) instead of a
+    device_put per leaf — the relay's ~29 ms fixed per-transfer cost made
+    leaf-wise upload (~200 ms/batch-8) dominate the train step itself."""
     n_data = mesh.shape["data"]
     sizes = {k: np.shape(v)[0] for k, v in batch.items() if np.ndim(v)}
     bad = {k: s for k, s in sizes.items() if s % n_data}
@@ -64,5 +68,13 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
             f"use a per-device batch size (global = per_device * {n_data}) "
             f"or a pad_last loader"
         )
-    sh = data_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    packer = _packer_cache.get(id(mesh))
+    if packer is None or packer.mesh is not mesh:
+        from .pack import BatchPacker
+
+        packer = BatchPacker(mesh)
+        _packer_cache[id(mesh)] = packer
+    return packer(batch)
+
+
+_packer_cache: Dict[int, "object"] = {}

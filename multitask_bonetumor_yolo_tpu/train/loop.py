@@ -125,6 +125,12 @@ class ValidationMetrics:
         )
         self.seg_map = MeanAveragePrecision(iou_type="segm")
         self.losses: Dict[str, list] = {}
+        # deferred-fetch queue: (device metrics, device small-aux, host batch
+        # fields) per step — drained in ONE jax.device_get at compute() time,
+        # so the relay's ~29 ms per-fetch round trip is paid once per epoch
+        # instead of once per batch, and device eval of batch k+1 overlaps
+        # the host-side queueing of batch k.
+        self._pending: list = []
 
     # aux keys the metric accumulators consume — fetched from device in ONE
     # batched transfer (each separate fetch pays the relay's ~29 ms fixed
@@ -141,8 +147,29 @@ class ValidationMetrics:
             batch.get("sample_valid", np.ones(len(batch["img_cls"]), bool))
         ).astype(bool)
         small = {k: aux[k] for k in self._SMALL_AUX if k in aux}
-        metrics, small = jax.device_get((metrics, small))
-        aux = {**aux, **small}
+        host = {
+            "sv": sv,
+            "img_cls": np.asarray(batch["img_cls"]),
+            "boxes": np.asarray(batch["boxes"]),
+            "box_valid": np.asarray(batch["box_valid"]),
+        }
+        if "seg_counts" not in aux:
+            # legacy path (steps without device-side seg summaries) keeps the
+            # full-resolution mask/prob out of the deferred queue
+            host["gt_mask"] = np.asarray(batch["mask"])[sv]
+            host["seg_prob"] = np.asarray(aux["seg_prob"])[sv]
+        self._pending.append((metrics, small, host))
+
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        fetched = jax.device_get([(m, s) for m, s, _ in self._pending])
+        pending, self._pending = self._pending, []
+        for (metrics, small), (_, _, host) in zip(fetched, pending):
+            self._apply(metrics, small, host)
+
+    def _apply(self, metrics, aux, host) -> None:
+        sv = host["sv"]
         for k, v in metrics.items():
             self.losses.setdefault(k, []).append(float(v))
         if "seg_counts" in aux:  # device-side summaries (eval step)
@@ -152,13 +179,13 @@ class ValidationMetrics:
                 counts, np.asarray(aux["seg_score"])[sv]
             )
         else:
-            gt_mask = np.asarray(batch["mask"])[sv]
-            seg_prob = np.asarray(aux["seg_prob"])[sv]
+            gt_mask = host["gt_mask"]
+            seg_prob = host["seg_prob"]
             self.seg.update(seg_prob, gt_mask)
             p, t = mask_map_inputs(seg_prob, gt_mask)
         self.seg_map.update(p, t)
         self.cls.update(
-            np.asarray(aux["cls_logits"])[sv], np.asarray(batch["img_cls"])[sv]
+            np.asarray(aux["cls_logits"])[sv], host["img_cls"][sv]
         )
         mask = np.asarray(aux["cm_mask"]).astype(bool) & sv[:, None]
         if mask.any():
@@ -170,7 +197,7 @@ class ValidationMetrics:
             t
             for t, ok in zip(
                 gt_to_map_targets(
-                    np.asarray(batch["boxes"]), np.asarray(batch["box_valid"]),
+                    host["boxes"], host["box_valid"],
                     self.cfg.model.img_size,
                 ),
                 sv,
@@ -181,6 +208,7 @@ class ValidationMetrics:
         self.map50_95.update(preds, targets)
 
     def compute(self, full_map: bool) -> Dict[str, float]:
+        self._drain()
         out = {f"{k}": float(np.mean(v)) for k, v in self.losses.items()}
         seg = self.seg.compute()
         out.update({f"seg_{k}": v for k, v in seg.items()})
@@ -325,12 +353,15 @@ class Trainer:
                     )
                 global_step += 1
                 if global_step % cfg.log_every == 0:
+                    # one batched fetch (the relay charges ~29 ms per fetch)
+                    metrics, cls_logits, img_cls = jax.device_get(
+                        (metrics, aux["cls_logits"], batch["img_cls"])
+                    )
                     metrics = {k: float(v) for k, v in metrics.items()}
                     metrics["lr"] = lr_at(self.train_cfg, global_step)
                     # train-stage cls metrics (running_main_v3.py:430-437)
                     tc = ClassificationMetrics(cfg.model.nc_img)
-                    tc.update(np.asarray(aux["cls_logits"]),
-                              np.asarray(batch["img_cls"]))
+                    tc.update(np.asarray(cls_logits), np.asarray(img_cls))
                     metrics.update(
                         {f"img_{k}": v for k, v in tc.compute().items()}
                     )

@@ -32,6 +32,10 @@ def main():
                     help="the reference's 0.5 pred-IoU assigner cannot "
                     "bootstrap from random init (it trains from pretrained "
                     "weights); 0.25 lets from-scratch training start")
+    ap.add_argument("--assigner", choices=["reference", "tal"], default="reference",
+                    help="cls-target assigner; 'tal' (task-aligned, soft "
+                    "IoU-weighted targets) is the documented swap-in point "
+                    "for the reference's hard pred-IoU>thresh rule")
     ap.add_argument("--data-dir", default="/tmp/synth_rich640")
     ap.add_argument("--run-dir", default=None)
     args = ap.parse_args()
@@ -55,6 +59,7 @@ def main():
         "--epochs", str(args.epochs),
         "--lr", str(args.lr),
         "--iou-match-thresh", str(args.iou_match_thresh),
+        "--assigner", args.assigner,
         "--map-full-freq", "10",
         "--log-every", "20",
         "--early-stop-patience", "30",
