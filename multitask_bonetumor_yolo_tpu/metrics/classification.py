@@ -46,6 +46,14 @@ class ClassificationMetrics:
         preds = arr.argmax(-1) if arr.ndim == 2 else arr
         self.cm += confusion_matrix(preds, np.asarray(targets), self.num_classes)
 
+    def update_cm(self, cm_counts) -> None:
+        """Add precomputed [C, C] counts (rows = true class) — the
+        device-side accumulation path (train/steps.py eval_step)."""
+        cm = np.asarray(cm_counts, np.float64)
+        if cm.shape != (self.num_classes, self.num_classes):
+            raise ValueError(f"cm shape {cm.shape} != C={self.num_classes}")
+        self.cm += cm
+
     def compute(self) -> Dict[str, float]:
         cm = self.cm
         tp = np.diag(cm)

@@ -128,3 +128,87 @@ class BatchPacker:
         else:
             dbuf = jax.device_put(buf)
         return fn(dbuf)
+
+
+# --------------------------------------------------------------- downloads
+# The relay's ~29 ms fixed round trip is also paid per device->host FETCH,
+# and a validation epoch fetches ~170 small metric/aux arrays (measured:
+# 7.6-13.7 s of a 9-15 s epoch). The inverse of BatchPacker: flatten every
+# small output into ONE uint8 device buffer per step (a single cached-jit
+# dispatch), concatenate the epoch's buffers on device, and fetch once.
+
+
+def _make_pack(spec: Spec):
+    def pack(tree: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        parts = []
+        for k, dt, _shape in spec:
+            v = tree[k]
+            if v.dtype == jnp.bool_:
+                v = v.astype(jnp.uint8)
+            elif v.dtype == jnp.bfloat16:
+                v = v.astype(jnp.float32)
+            v = jnp.asarray(v).reshape(-1)
+            if v.dtype.itemsize > 1:
+                v = lax.bitcast_convert_type(v[:, None], jnp.uint8)
+            parts.append(v.reshape(-1))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    return pack
+
+
+def _out_canon(dt: np.dtype) -> np.dtype:
+    """dtype as stored in the packed buffer."""
+    if dt == np.bool_:
+        return np.dtype(np.uint8)
+    if dt == jnp.bfloat16:
+        return np.dtype(np.float32)
+    return _CANON.get(dt, dt)
+
+
+class OutputPacker:
+    """Packs a dict of small DEVICE arrays into one uint8 buffer (one jitted
+    dispatch, cached per shape-spec) and later decodes fetched bytes back to
+    a numpy dict. Scalars are fine (stored as their canonical dtype)."""
+
+    def __init__(self):
+        self._fns: Dict[Spec, object] = {}
+
+    @staticmethod
+    def spec_of(tree: Dict[str, jnp.ndarray]) -> Spec:
+        return tuple(
+            (k, np.dtype(
+                np.float32 if tree[k].dtype == jnp.bfloat16 else tree[k].dtype
+            ).str, tuple(tree[k].shape))
+            for k in sorted(tree)
+        )
+
+    @staticmethod
+    def nbytes(spec: Spec) -> int:
+        return sum(
+            math.prod(shape) * _out_canon(np.dtype(dt)).itemsize
+            for _k, dt, shape in spec
+        )
+
+    def pack(self, tree: Dict[str, jnp.ndarray]):
+        """device dict -> (uint8 device vector, spec)."""
+        spec = self.spec_of(tree)
+        fn = self._fns.get(spec)
+        if fn is None:
+            fn = jax.jit(_make_pack(spec))
+            self._fns[spec] = fn
+        return fn(tree), spec
+
+    @staticmethod
+    def unpack(buf: np.ndarray, spec: Spec) -> Dict[str, np.ndarray]:
+        """fetched uint8 bytes (host) -> numpy dict per the spec."""
+        out = {}
+        off = 0
+        for k, dt, shape in spec:
+            dtype = np.dtype(dt)
+            stored = _out_canon(dtype)
+            n = math.prod(shape) * stored.itemsize
+            seg = np.ascontiguousarray(buf[off : off + n])
+            off += n
+            arr = seg.view(stored).reshape(shape)
+            out[k] = arr != 0 if dtype == np.bool_ else arr
+        return out

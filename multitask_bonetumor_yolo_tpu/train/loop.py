@@ -17,10 +17,11 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data import BTXRD, BTXRDLoader, DataConfig
-from ..data.dataset import Prefetcher
+from ..data.dataset import DeviceEvalCache, Prefetcher
 from ..data.preprocess import AugmentConfig
 from ..losses import LossConfig
 from ..metrics import (
@@ -34,6 +35,7 @@ from ..metrics.segmentation import (
 )
 from ..models import ModelConfig
 from ..parallel import create_mesh, shard_batch
+from ..parallel.pack import OutputPacker
 from ..utils.logging import RunLogger
 from ..utils.profiling import PhaseTimer, annotate
 from .checkpoint import CheckpointManager
@@ -125,20 +127,23 @@ class ValidationMetrics:
         )
         self.seg_map = MeanAveragePrecision(iou_type="segm")
         self.losses: Dict[str, list] = {}
-        # deferred-fetch queue: (device metrics, device small-aux, host batch
-        # fields) per step — drained in ONE jax.device_get at compute() time,
-        # so the relay's ~29 ms per-fetch round trip is paid once per epoch
-        # instead of once per batch, and device eval of batch k+1 overlaps
-        # the host-side queueing of batch k.
+        # deferred-fetch queue. The relay charges its ~29 ms fixed round trip
+        # per ARRAY even inside one jax.device_get, and an epoch accumulates
+        # ~170 small metric/aux arrays (measured 7.6-13.7 s of a 9-15 s
+        # epoch) — so each step's scalars+small-aux are packed into ONE uint8
+        # buffer on device (parallel.OutputPacker, a single cached-jit
+        # dispatch), the epoch's buffers are concatenated on device, and
+        # compute() fetches ONE array.
         self._pending: list = []
+        self._packer = OutputPacker()
 
-    # aux keys the metric accumulators consume — fetched from device in ONE
-    # batched transfer (each separate fetch pays the relay's ~29 ms fixed
-    # round trip); the full-resolution seg_prob/seg_mask stay on device for
-    # the viz path only.
+    # aux keys the metric accumulators consume — packed + fetched once per
+    # epoch; the full-resolution seg_prob/seg_mask stay on device for the
+    # viz path only.
     _SMALL_AUX = (
-        "seg_counts", "seg_score", "cls_logits", "cm_mask", "cm_pred",
-        "cm_gt", "nms_boxes", "nms_scores", "nms_labels", "nms_valid",
+        "seg_counts", "seg_score", "cls_logits", "cm_counts", "cm_mask",
+        "cm_pred", "cm_gt", "nms_boxes", "nms_scores", "nms_labels",
+        "nms_valid",
     )
 
     def update(self, metrics, aux, batch) -> None:
@@ -147,6 +152,8 @@ class ValidationMetrics:
             batch.get("sample_valid", np.ones(len(batch["img_cls"]), bool))
         ).astype(bool)
         small = {k: aux[k] for k in self._SMALL_AUX if k in aux}
+        small.update({f"m:{k}": v for k, v in metrics.items()})
+        packed, spec = self._packer.pack(small)
         host = {
             "sv": sv,
             "img_cls": np.asarray(batch["img_cls"]),
@@ -158,14 +165,23 @@ class ValidationMetrics:
             # full-resolution mask/prob out of the deferred queue
             host["gt_mask"] = np.asarray(batch["mask"])[sv]
             host["seg_prob"] = np.asarray(aux["seg_prob"])[sv]
-        self._pending.append((metrics, small, host))
+        self._pending.append((packed, spec, host))
 
     def _drain(self) -> None:
         if not self._pending:
             return
-        fetched = jax.device_get([(m, s) for m, s, _ in self._pending])
         pending, self._pending = self._pending, []
-        for (metrics, small), (_, _, host) in zip(fetched, pending):
+        bufs = [p for p, _, _ in pending]
+        joined = np.asarray(
+            jnp.concatenate(bufs) if len(bufs) > 1 else bufs[0]
+        )
+        off = 0
+        for _, spec, host in pending:
+            n = OutputPacker.nbytes(spec)
+            d = OutputPacker.unpack(joined[off : off + n], spec)
+            off += n
+            metrics = {k[2:]: v for k, v in d.items() if k.startswith("m:")}
+            small = {k: v for k, v in d.items() if not k.startswith("m:")}
             self._apply(metrics, small, host)
 
     def _apply(self, metrics, aux, host) -> None:
@@ -187,11 +203,15 @@ class ValidationMetrics:
         self.cls.update(
             np.asarray(aux["cls_logits"])[sv], host["img_cls"][sv]
         )
-        mask = np.asarray(aux["cm_mask"]).astype(bool) & sv[:, None]
-        if mask.any():
-            self.det_cm.update(
-                np.asarray(aux["cm_pred"])[mask], np.asarray(aux["cm_gt"])[mask]
-            )
+        if "cm_counts" in aux:  # device-side CM accumulation (eval step)
+            self.det_cm.update_cm(aux["cm_counts"])
+        elif "cm_mask" in aux:
+            mask = np.asarray(aux["cm_mask"]).astype(bool) & sv[:, None]
+            if mask.any():
+                self.det_cm.update(
+                    np.asarray(aux["cm_pred"])[mask],
+                    np.asarray(aux["cm_gt"])[mask],
+                )
         preds = [p for p, ok in zip(nms_to_map_preds(aux), sv) if ok]
         targets = [
             t
@@ -273,6 +293,7 @@ class Trainer:
             top_k=self.train_cfg.ckpt_top_k,
         )
         self.rng = jax.random.PRNGKey(self.train_cfg.seed)
+        self._val_cache = None
 
         if convnext_ckpt or detect_ckpt or segment_ckpt:
             from ..utils.import_torch_weights import load_pretrained
@@ -418,11 +439,17 @@ class Trainer:
     def validate(self, epoch: int, global_step: int) -> Dict[str, float]:
         cfg = self.cfg
         vm = ValidationMetrics(cfg)
-        loader = BTXRDLoader(self.val_ds, self.global_batch, pad_last=True)
+        if self._val_cache is None:
+            # device-resident val set: decode + upload once, replay from HBM
+            # every later epoch (see data.dataset.DeviceEvalCache)
+            self._val_cache = DeviceEvalCache(
+                lambda: BTXRDLoader(
+                    self.val_ds, self.global_batch, pad_last=True
+                ),
+                lambda b: shard_batch(b, self.mesh),
+            )
         first = True
-        for batch, sharded in Prefetcher(
-            loader, map_fn=lambda b: (b, shard_batch(b, self.mesh))
-        ):
+        for batch, sharded in self._val_cache:
             metrics, aux = self.eval_step(self.state, sharded)
             vm.update(metrics, aux, batch)
             if first and epoch % cfg.viz_every_epochs == 0:

@@ -138,6 +138,20 @@ def make_eval_step(
         score = jnp.sum(prob * pm, axis=(1, 2)) / (
             jnp.sum(pm, axis=(1, 2)) + 1e-6
         )
+        # detection confusion-matrix COUNTS on device ([nc, nc], rows = true
+        # class) — shipping the per-anchor match arrays ([B, 8400] x3) cost
+        # ~600 KB/step over the relay; the counts are nc^2 ints
+        cm_mask = lo.matched_mask
+        if "sample_valid" in batch:
+            cm_mask = cm_mask & batch["sample_valid"][:, None]
+        nc = model_cfg.nc_det
+        cm_idx = lo.matched_gt_cls * nc + lo.matched_pred_cls
+        cm_counts = (
+            jnp.zeros((nc * nc,), jnp.int32)
+            .at[cm_idx.ravel()]
+            .add(cm_mask.ravel().astype(jnp.int32))
+            .reshape(nc, nc)
+        )
         aux = {
             "nms_boxes": nms.boxes,
             "nms_scores": nms.scores,
@@ -148,9 +162,7 @@ def make_eval_step(
             "seg_score": score,
             "seg_counts": counts,
             "cls_logits": out["cls_logits"],
-            "cm_mask": lo.matched_mask,
-            "cm_pred": lo.matched_pred_cls,
-            "cm_gt": lo.matched_gt_cls,
+            "cm_counts": cm_counts,
         }
         return metrics, aux
 

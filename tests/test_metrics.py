@@ -242,3 +242,35 @@ def test_mask_map_counts_path_equals_mask_path():
     for k in a:
         if isinstance(a[k], float):
             np.testing.assert_allclose(b[k], a[k], atol=1e-9, err_msg=k)
+
+
+def test_update_cm_matches_pairwise_update():
+    """Device-side CM counts (train/steps.py eval_step) must accumulate the
+    same matrix as the host pairwise path."""
+    import jax.numpy as jnp
+
+    from multitask_bonetumor_yolo_tpu.metrics import ClassificationMetrics
+
+    rng = np.random.default_rng(3)
+    nc, B, A = 3, 4, 50
+    pred = rng.integers(0, nc, (B, A)).astype(np.int32)
+    gt = rng.integers(0, nc, (B, A)).astype(np.int32)
+    mask = rng.integers(0, 2, (B, A)).astype(bool)
+    sv = np.array([True, True, False, True])
+
+    host = ClassificationMetrics(nc)
+    m = mask & sv[:, None]
+    host.update(pred[m], gt[m])
+
+    # the eval_step device formula
+    cm_mask = jnp.asarray(mask) & jnp.asarray(sv)[:, None]
+    idx = jnp.asarray(gt) * nc + jnp.asarray(pred)
+    counts = (
+        jnp.zeros((nc * nc,), jnp.int32)
+        .at[idx.ravel()]
+        .add(cm_mask.ravel().astype(jnp.int32))
+        .reshape(nc, nc)
+    )
+    dev = ClassificationMetrics(nc)
+    dev.update_cm(np.asarray(counts))
+    np.testing.assert_array_equal(dev.cm, host.cm)

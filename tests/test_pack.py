@@ -61,3 +61,115 @@ def test_pack_rejects_indivisible_batch():
     mesh = create_mesh()
     with pytest.raises(ValueError, match="not divisible"):
         BatchPacker(mesh)({"x": np.zeros((mesh.shape["data"] + 1, 2))})
+
+
+# ------------------------------------------------------------- OutputPacker
+def test_output_packer_roundtrip():
+    import jax.numpy as jnp
+
+    from multitask_bonetumor_yolo_tpu.parallel.pack import OutputPacker
+
+    p = OutputPacker()
+    tree = {
+        "a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) * 1.5,
+        "b": jnp.asarray([True, False, True]),
+        "c": jnp.arange(4, dtype=jnp.int32) - 2,
+        "d": jnp.asarray(3.25, jnp.float32),  # scalar
+        "e": jnp.asarray([[1.5, -2.5]], jnp.bfloat16),  # stored as f32
+    }
+    buf, spec = p.pack(tree)
+    host = np.asarray(buf)
+    assert host.dtype == np.uint8 and OutputPacker.nbytes(spec) == host.size
+    out = OutputPacker.unpack(host, spec)
+    np.testing.assert_allclose(out["a"], np.asarray(tree["a"]))
+    assert out["b"].dtype == bool
+    np.testing.assert_array_equal(out["b"], np.asarray(tree["b"]))
+    np.testing.assert_array_equal(out["c"], np.asarray(tree["c"]))
+    assert float(out["d"]) == 3.25
+    np.testing.assert_allclose(out["e"], [[1.5, -2.5]])
+    # jit cache reuse: same spec -> same compiled fn
+    buf2, spec2 = p.pack(tree)
+    assert spec2 == spec and len(p._fns) == 1
+
+
+def test_output_packer_concat_epoch():
+    """Per-step buffers concatenated then split per spec (the drain path)."""
+    import jax.numpy as jnp
+
+    from multitask_bonetumor_yolo_tpu.parallel.pack import OutputPacker
+
+    p = OutputPacker()
+    steps = [
+        {"x": jnp.full((3,), float(i), jnp.float32),
+         "n": jnp.asarray(i, jnp.int32)}
+        for i in range(4)
+    ]
+    packed = [p.pack(s) for s in steps]
+    joined = np.asarray(jnp.concatenate([b for b, _ in packed]))
+    off = 0
+    for i, (_, spec) in enumerate(packed):
+        n = OutputPacker.nbytes(spec)
+        d = OutputPacker.unpack(joined[off : off + n], spec)
+        off += n
+        np.testing.assert_allclose(d["x"], np.full((3,), float(i)))
+        assert int(d["n"]) == i
+    assert off == joined.size
+
+
+# --------------------------------------------------------- DeviceEvalCache
+def _cache_batches(n_batches=3, b=4):
+    rng = np.random.default_rng(7)
+    out = []
+    for i in range(n_batches):
+        out.append({
+            "image": rng.integers(0, 255, (b, 16, 16, 3)).astype(np.uint8),
+            "boxes": rng.normal(size=(b, 4, 5)).astype(np.float32),
+            "box_valid": rng.integers(0, 2, (b, 4)).astype(bool),
+            "img_cls": rng.integers(0, 3, (b,)).astype(np.int32),
+            "mask": rng.integers(0, 2, (b, 16, 16, 1)).astype(np.uint8),
+        })
+    return out
+
+
+def test_device_eval_cache_replays_identically():
+    from multitask_bonetumor_yolo_tpu.data.dataset import DeviceEvalCache
+
+    batches = _cache_batches()
+    calls = {"n": 0}
+
+    def make_loader():
+        calls["n"] += 1
+        return iter([dict(b) for b in batches])
+
+    cache = DeviceEvalCache(make_loader, BatchPacker())
+    first = [(dict(h), jb) for h, jb in cache]
+    second = list(cache)
+    assert calls["n"] == 1  # replay did not re-open the loader
+    assert len(first) == len(second) == len(batches)
+    for (h1, j1), (h2, j2), orig in zip(first, second, batches):
+        for k in ("image", "boxes"):
+            np.testing.assert_array_equal(np.asarray(j2[k]), orig[k])
+        # replay host dict keeps the metric fields
+        np.testing.assert_array_equal(h2["img_cls"], orig["img_cls"])
+        np.testing.assert_array_equal(h2["boxes"], orig["boxes"])
+    # batch 0 retains the FULL host dict for viz overlays
+    assert "image" in second[0][0] and "mask" in second[0][0]
+    assert "image" not in second[1][0]
+
+
+def test_device_eval_cache_tail_streams_past_budget():
+    from multitask_bonetumor_yolo_tpu.data.dataset import DeviceEvalCache
+
+    batches = _cache_batches(4)
+    one = sum(v.nbytes for v in batches[0].values())
+
+    def make_loader():
+        return iter([dict(b) for b in batches])
+
+    cache = DeviceEvalCache(make_loader, BatchPacker(), max_bytes=2 * one)
+    _ = list(cache)
+    assert len(cache._cached) == 2 and cache._tail
+    replay = list(cache)
+    assert len(replay) == 4
+    for (h, jb), orig in zip(replay, batches):
+        np.testing.assert_array_equal(np.asarray(jb["image"]), orig["image"])
