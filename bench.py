@@ -293,21 +293,26 @@ def main():
             "peak_tflops_measured": PEAK_TFLOPS,
         },
     }
+    # the train-step and eval-pipeline configs ride the DEFAULT run so the
+    # driver's BENCH_r*.json captures them (VERDICT r3 #8); --all adds the
+    # remaining BASELINE.json configs (single-image, preprocessing).
+    t_ips, t_ms = bench_train_step(8, args.img, max(5, args.iters // 2))
+    e_ips, e_ms = bench_eval_pipeline(args.batch, args.img)
+    result["extra"].update(
+        train_step_ips=round(t_ips, 2),
+        train_step_ms=round(t_ms, 2),
+        train_step_mfu=round(_mfu(t_ips, 3.0 * FWD_TFLOPS_PER_IMG), 3),
+        eval_pipeline_ips=round(e_ips, 2),
+        eval_pipeline_epoch_ms=round(e_ms, 1),
+    )
     if args.all:
         s_ips, s_ms = bench_multitask_inference(1, args.img, args.iters)
-        t_ips, t_ms = bench_train_step(8, args.img, max(5, args.iters // 2))
         p_ips, p_ms = bench_preprocess(args.batch, args.img, args.iters)
-        e_ips, e_ms = bench_eval_pipeline(args.batch, args.img)
         result["extra"].update(
             single_image_ips=round(s_ips, 2),
             single_image_p50_ms=round(s_ms, 2),
-            train_step_ips=round(t_ips, 2),
-            train_step_ms=round(t_ms, 2),
-            train_step_mfu=round(_mfu(t_ips, 3.0 * FWD_TFLOPS_PER_IMG), 3),
             preprocess_ips=round(p_ips, 2),
             preprocess_ms=round(p_ms, 3),
-            eval_pipeline_ips=round(e_ips, 2),
-            eval_pipeline_epoch_ms=round(e_ms, 1),
         )
     print(json.dumps(result))
 

@@ -13,7 +13,9 @@ metric suites, confusion matrices, example overlays.
 from __future__ import annotations
 
 import dataclasses
+import json
 import time
+from pathlib import Path
 from typing import Dict, Optional
 
 import jax
@@ -292,6 +294,20 @@ class Trainer:
             f"{cfg.run_dir}/{self.train_cfg.ckpt_dir}",
             top_k=self.train_cfg.ckpt_top_k,
         )
+        # Persist the model/loss config next to the checkpoints so
+        # cli/evaluate.py can default its flags from the TRAINED config
+        # (eval_bn / assigner / single_head / ...) instead of silently
+        # evaluating a frozen-BN- or TAL-trained checkpoint under
+        # mismatched defaults. The reference has no equivalent — its eval
+        # script hardcodes the model hyperparameters
+        # (/root/reference/src/evaluate_model.py:370-424).
+        cfg_path = Path(f"{cfg.run_dir}/{self.train_cfg.ckpt_dir}/config.json")
+        cfg_path.write_text(json.dumps({
+            "model": dataclasses.asdict(cfg.model),
+            "loss": dataclasses.asdict(cfg.loss),
+            "data": {"img_size": cfg.data.img_size,
+                     "max_boxes": cfg.data.max_boxes},
+        }, indent=2, default=list))
         self.rng = jax.random.PRNGKey(self.train_cfg.seed)
         self._val_cache = None
 

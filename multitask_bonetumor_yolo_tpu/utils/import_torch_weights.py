@@ -43,8 +43,13 @@ def _dwconv(w: Array) -> Array:
 
 
 def _deconv(w: Array) -> Array:
-    # torch ConvTranspose2d [I,O,kh,kw] -> flax [kh,kw,I,O]
-    return np.transpose(np.asarray(w), (2, 3, 0, 1))
+    # torch ConvTranspose2d [I,O,kh,kw] -> flax [kh,kw,I,O] with BOTH spatial
+    # dims flipped: flax/lax conv_transpose places kernel tap [a,b] at output
+    # offset [k-1-a, k-1-b] while torch places it at [a,b] (measured, delta-
+    # input probe in tests/test_weight_import.py::test_deconv_import_numerics)
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1]
+    )
 
 
 def _linear(w: Array) -> Array:

@@ -36,6 +36,10 @@ def main():
                     help="cls-target assigner; 'tal' (task-aligned, soft "
                     "IoU-weighted targets) is the documented swap-in point "
                     "for the reference's hard pred-IoU>thresh rule")
+    ap.add_argument("--eval-bn", choices=["reference", "frozen"],
+                    default="reference",
+                    help="'frozen' kills the replicated BN val-jitter quirk "
+                    "so checkpoint selection is deterministic")
     ap.add_argument("--data-dir", default="/tmp/synth_rich640")
     ap.add_argument("--run-dir", default=None)
     args = ap.parse_args()
@@ -60,6 +64,7 @@ def main():
         "--lr", str(args.lr),
         "--iou-match-thresh", str(args.iou_match_thresh),
         "--assigner", args.assigner,
+        "--eval-bn", args.eval_bn,
         "--map-full-freq", "10",
         "--log-every", "20",
         "--early-stop-patience", "30",

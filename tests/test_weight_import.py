@@ -303,3 +303,33 @@ def test_load_pretrained_roundtrip_via_torch_file(rng, tmp_path):
         ["mean"],
         dsd["cv2.0.0.bn.running_mean"],
     )
+
+
+def test_deconv_import_numerics():
+    """The Proto upsample (ConvTranspose 2x2/s2) import must be FORWARD-
+    equivalent, not just shape-compatible: flax/lax conv_transpose places
+    kernel tap [a,b] at output offset [k-1-a,k-1-b] while torch places it at
+    [a,b], so the converter must flip both spatial dims (caught by the
+    end-to-end torch oracle, tests/test_reference_oracle.py)."""
+    import flax.linen as nn
+
+    from multitask_bonetumor_yolo_tpu.utils.import_torch_weights import _deconv
+
+    rs = np.random.RandomState(5)
+    w_t = rs.randn(6, 4, 2, 2).astype(np.float32)  # torch [I, O, kh, kw]
+    b_t = rs.randn(4).astype(np.float32)
+    x = rs.rand(2, 5, 5, 6).astype(np.float32)
+
+    y_torch = F.conv_transpose2d(
+        torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(w_t),
+        torch.from_numpy(b_t), stride=2,
+    ).permute(0, 2, 3, 1).numpy()
+
+    m = nn.ConvTranspose(4, (2, 2), strides=(2, 2), use_bias=True)
+    with jax.default_matmul_precision("highest"):
+        y_flax = np.asarray(m.apply(
+            {"params": {"kernel": jnp.asarray(_deconv(w_t)),
+                        "bias": jnp.asarray(b_t)}},
+            jnp.asarray(x),
+        ))
+    np.testing.assert_allclose(y_flax, y_torch, atol=1e-5, rtol=1e-5)
