@@ -35,6 +35,10 @@ import numpy as np
 
 REF_GPU_EQUIV_IPS = 250.0  # estimated reference GPU images/sec (see docstring)
 
+# concurrent relay upload streams for the eval-pipeline first pass (the
+# cold-cache wall is host->device bytes; measured on-chip, see BASELINE.md)
+EVAL_UPLOAD_STREAMS = 4
+
 # Self-anchored MFU denominators (VERDICT r2 #9): judge progress against the
 # chip, not only the GPU-equivalence estimate. FWD_TFLOPS_PER_IMG is the
 # model's matmul/conv FLOP count per 640^2 image (profile table in
@@ -243,12 +247,10 @@ def bench_eval_pipeline(batch: int, img: int, n_images: int = 64):
 
     from multitask_bonetumor_yolo_tpu.parallel import BatchPacker
 
-    packer = BatchPacker()
-    cache = DeviceEvalCache(
-        lambda: BTXRDLoader(ds, batch, pad_last=True), packer
-    )
+    packer = BatchPacker(streams=EVAL_UPLOAD_STREAMS)
+    make_loader = lambda: BTXRDLoader(ds, batch, pad_last=True)
 
-    def run_epoch():
+    def run_epoch(cache):
         vm = ValidationMetrics(exp)
         n = 0
         for b, jb in cache:
@@ -258,14 +260,22 @@ def bench_eval_pipeline(batch: int, img: int, n_images: int = 64):
         vm.compute(full_map=True)
         return n
 
-    run_epoch()  # compile + populate the device cache
+    # compile every jit (pack/eval/metrics) + populate a throwaway cache
+    run_epoch(DeviceEvalCache(make_loader, packer))
+    # first-pass (cold-cache) regime: decode + bitpacked upload + eval,
+    # warm jits — what a single `cli/evaluate.py` run pays per batch
+    cache = DeviceEvalCache(make_loader, packer)
     t0 = _time.perf_counter()
-    n = run_epoch()  # streaming-free but first timed pass (warm jits)
+    n = run_epoch(cache)
+    first_dt = _time.perf_counter() - t0
+    # steady-state regime: replay from HBM (how train/loop.py validates)
+    t0 = _time.perf_counter()
+    n = run_epoch(cache)
     stream_free_dt = _time.perf_counter() - t0
     t0 = _time.perf_counter()
-    n = run_epoch()
+    n = run_epoch(cache)
     dt = min(_time.perf_counter() - t0, stream_free_dt)
-    return n / dt, dt * 1000.0
+    return n / dt, dt * 1000.0, n / first_dt
 
 
 def main():
@@ -297,13 +307,14 @@ def main():
     # driver's BENCH_r*.json captures them (VERDICT r3 #8); --all adds the
     # remaining BASELINE.json configs (single-image, preprocessing).
     t_ips, t_ms = bench_train_step(8, args.img, max(5, args.iters // 2))
-    e_ips, e_ms = bench_eval_pipeline(args.batch, args.img)
+    e_ips, e_ms, e_first = bench_eval_pipeline(args.batch, args.img)
     result["extra"].update(
         train_step_ips=round(t_ips, 2),
         train_step_ms=round(t_ms, 2),
         train_step_mfu=round(_mfu(t_ips, 3.0 * FWD_TFLOPS_PER_IMG), 3),
         eval_pipeline_ips=round(e_ips, 2),
         eval_pipeline_epoch_ms=round(e_ms, 1),
+        eval_first_pass_ips=round(e_first, 2),
     )
     if args.all:
         s_ips, s_ms = bench_multitask_inference(1, args.img, args.iters)

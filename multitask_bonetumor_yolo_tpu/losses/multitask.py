@@ -253,8 +253,16 @@ def multitask_loss(
         box_w = pos_f
         dfl_norm = avg_factor
     elif cfg.assigner == "tal":
+        # The assignment is a *target builder*, not part of the loss surface:
+        # TOOD/ultralytics run it on DETACHED predictions. Detaching also
+        # kills the pow-VJP NaN path — d(s^alpha)/ds = alpha*s^(alpha-1) is
+        # inf when sigmoid underflows to exactly 0 on hard negatives, and
+        # 0*inf through the where-mask poisons the whole gradient (observed
+        # as late-training divergence at ~step 1000 on the synthetic recipe).
         (positive, best_gt, box_w, norm_t, avg_iou) = _assign_tal(
-            iou, det_cls_logits, gt_cls, gt_valid, gt_xyxy,
+            jax.lax.stop_gradient(iou),
+            jax.lax.stop_gradient(det_cls_logits),
+            gt_cls, gt_valid, gt_xyxy,
             (anchors * strides), cfg,
         )
         pos_f = positive.astype(f32)

@@ -62,7 +62,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = True, *, conv_input: bool = True
+        self,
+        x: jnp.ndarray,
+        train: bool = True,
+        *,
+        conv_input: bool = True,
+        in_features: int = None,
     ) -> jnp.ndarray:
         p = autopad(self.kernel_size, None, self.dilation)
         conv = nn.Conv(
@@ -80,9 +85,11 @@ class ConvBN(nn.Module):
             x = conv(x)
         else:
             # caller already applied (a composition of) this conv's kernel,
-            # read via self.variables — e.g. the Proto phase fusion. The
-            # dummy call only CREATES the params; in_ch comes from x.
-            _ = conv(jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype))
+            # read via self.variables — e.g. the Proto phase fusion or the
+            # head tower first-conv concat. The dummy call only CREATES (or
+            # shape-checks) the params; the conv's input width is x's width
+            # unless the caller's composition changed it (``in_features``).
+            _ = conv(jnp.zeros((1, 1, 1, in_features or x.shape[-1]), x.dtype))
         # BN statistics in fp32 for stability; result cast back to compute dtype.
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -51,7 +51,14 @@ class HeadConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True, *, conv_input: bool = True):
+    def __call__(
+        self,
+        x,
+        train: bool = True,
+        *,
+        conv_input: bool = True,
+        in_features: int = None,
+    ):
         return ConvBN(
             self.features,
             self.kernel_size,
@@ -61,7 +68,7 @@ class HeadConv(nn.Module):
             bn_momentum=BN_MOMENTUM_HEAD,
             bn_eps=BN_EPS_HEAD,
             dtype=self.dtype,
-        )(x, train, conv_input=conv_input)
+        )(x, train, conv_input=conv_input, in_features=in_features)
 
 
 def _final_conv(features: int, bias_value, dtype, name: str):
@@ -79,8 +86,42 @@ def _final_conv(features: int, bias_value, dtype, name: str):
     )
 
 
+def tower_widths(nc: int, ch0: int, reg_max: int) -> Tuple[int, int]:
+    """(c2, c3) tower widths per the ultralytics Detect rules."""
+    return max(16, ch0 // 4, 4 * reg_max), max(ch0, min(nc, 100))
+
+
+def fused_first_conv(x: jnp.ndarray, kernels, dtype) -> jnp.ndarray:
+    """One 3x3 SAME conv whose output channels are the concatenation of
+    ``kernels``'s outputs — exact: all tower first convs read the SAME
+    feature map and are bias-free, and their BN/SiLU epilogues are
+    per-channel, so splitting the fused output reproduces each branch
+    bit-for-bit. Why fuse: the 256->64 box/coeff first convs fill only half
+    of the MXU's 128 output lanes; concatenated with the 256-wide cls conv
+    (-> 320/384 channels) every lane group is full."""
+    k = jnp.concatenate(
+        [kk.astype(dtype) for kk in kernels], axis=-1
+    )
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _fuse_towers() -> bool:
+    import os
+
+    return os.environ.get("MTBY_FUSE_TOWERS", "1") == "1"
+
+
 class DetectTowers(nn.Module):
-    """Shared box/cls towers used by both Detect and Segment heads."""
+    """Shared box/cls towers used by both Detect and Segment heads.
+
+    ``first_outs`` (optional, per level ``(yb, yc)``) lets the parent head
+    supply the cv2_*_0 / cv3_*_0 conv outputs it computed via
+    ``fused_first_conv`` — the HeadConv modules then run only their BN+SiLU
+    epilogues (``conv_input=False``), keeping the parameter tree and the
+    train-mode batch-stats updates identical to the unfused path."""
 
     nc: int
     ch0: int
@@ -89,16 +130,30 @@ class DetectTowers(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray], train: bool = True):
-        c2 = max(16, self.ch0 // 4, 4 * self.reg_max)
-        c3 = max(self.ch0, min(self.nc, 100))
+    def __call__(
+        self,
+        feats: Sequence[jnp.ndarray],
+        train: bool = True,
+        first_outs=None,
+    ):
+        c2, c3 = tower_widths(self.nc, self.ch0, self.reg_max)
         outs = []
         for i, x in enumerate(feats):
             stride = self.strides[i]
-            b = HeadConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+            cin = x.shape[-1]
+            if first_outs is None:
+                b = HeadConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, train)
+                c = HeadConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
+            else:
+                yb, yc = first_outs[i]
+                b = HeadConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(
+                    yb, train, conv_input=False, in_features=cin
+                )
+                c = HeadConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(
+                    yc, train, conv_input=False, in_features=cin
+                )
             b = HeadConv(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, train)
             b = _final_conv(4 * self.reg_max, 1.0, self.dtype, f"cv2_{i}_2")(b)
-            c = HeadConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, train)
             c = HeadConv(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, train)
             cls_bias = math.log(5.0 / self.nc / (640.0 / stride) ** 2)
             c = _final_conv(self.nc, cls_bias, self.dtype, f"cv3_{i}_2")(c)
@@ -141,10 +196,27 @@ class DetectHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
-        return DetectTowers(
+        towers = DetectTowers(
             self.nc, self.ch0, self.strides, self.reg_max,
             dtype=self.dtype, name="towers",
-        )(feats, train)
+        )
+        if self.is_initializing() or not _fuse_towers():
+            return towers(feats, train)
+        # fused first layer: cv2_i_0 (c2 ch) + cv3_i_0 (c3 ch) as ONE conv
+        p = self.variables["params"]["towers"]
+        c2, _ = tower_widths(self.nc, self.ch0, self.reg_max)
+        first_outs = []
+        for i, x in enumerate(feats):
+            y = fused_first_conv(
+                x,
+                [
+                    p[f"cv2_{i}_0"]["ConvBN_0"]["Conv_0"]["kernel"],
+                    p[f"cv3_{i}_0"]["ConvBN_0"]["Conv_0"]["kernel"],
+                ],
+                self.dtype,
+            )
+            first_outs.append((y[..., :c2], y[..., c2:]))
+        return towers(feats, train, first_outs=first_outs)
 
 
 class Proto(nn.Module):
@@ -254,10 +326,43 @@ class SegmentHead(nn.Module):
             feats[0], train
         )
         c4 = max(self.ch0 // 4, self.nm)
+        towers = DetectTowers(
+            self.nc, self.ch0, self.strides, self.reg_max,
+            dtype=self.dtype, name="towers",
+        )
+
+        # fused first layer (exactness: see fused_first_conv): the coeff
+        # (cv4_i_0, c4 ch), box (cv2_i_0, c2 ch) and cls (cv3_i_0, c3 ch)
+        # towers all read feats[i]; one 3x3 conv feeds all three.
+        fuse = not self.is_initializing() and _fuse_towers()
+        first_outs = coeff_first = None
+        if fuse:
+            p = self.variables["params"]
+            c2, c3 = tower_widths(self.nc, self.ch0, self.reg_max)
+            first_outs, coeff_first = [], []
+            for i, x in enumerate(feats):
+                y = fused_first_conv(
+                    x,
+                    [
+                        p["towers"][f"cv2_{i}_0"]["ConvBN_0"]["Conv_0"]["kernel"],
+                        p["towers"][f"cv3_{i}_0"]["ConvBN_0"]["Conv_0"]["kernel"],
+                        p[f"cv4_{i}_0"]["ConvBN_0"]["Conv_0"]["kernel"],
+                    ],
+                    self.dtype,
+                )
+                first_outs.append((y[..., :c2], y[..., c2 : c2 + c3]))
+                coeff_first.append(y[..., c2 + c3 :])
+
         coeff_levels = []
         b = feats[0].shape[0]
         for i, x in enumerate(feats):
-            m = HeadConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
+            if fuse:
+                m = HeadConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(
+                    coeff_first[i], train,
+                    conv_input=False, in_features=x.shape[-1],
+                )
+            else:
+                m = HeadConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, train)
             m = HeadConv(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, train)
             m = nn.Conv(
                 self.nm, (1, 1), use_bias=True,
@@ -265,8 +370,5 @@ class SegmentHead(nn.Module):
             )(m)
             coeff_levels.append(m.reshape(b, -1, self.nm))
         coeffs = jnp.concatenate(coeff_levels, axis=1)  # [B, A, nm]
-        det_raw = DetectTowers(
-            self.nc, self.ch0, self.strides, self.reg_max,
-            dtype=self.dtype, name="towers",
-        )(feats, train)
+        det_raw = towers(feats, train, first_outs=first_outs)
         return det_raw, coeffs, protos

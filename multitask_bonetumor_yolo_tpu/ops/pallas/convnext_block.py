@@ -57,6 +57,18 @@ def _ln_mxu() -> bool:
     more than the ~7-step VPU shuffle tree they replace. Kept as an
     experiment hook only."""
     return os.environ.get("CNB_LN_MXU", "0") == "1"
+
+
+def _no_z() -> bool:
+    """'1' (default) = the z-free formulation: LN never materialises the
+    normalised tensor. mean/rsqrt are PER-ROW scalars, so
+        LN(y) @ w1 = r * (y @ w1) - (mean * r) * colsum(w1)
+    — fc1 consumes the raw dwconv output y (MXU), and normalisation
+    becomes a 2-FMA per-row fixup on the fc1 OUTPUT. This deletes the
+    full-slab VPU normalise pass that serialised behind the dwconv
+    (per-stage measurements: BASELINE.md round-4 table). '0' = the
+    round-3 materialised-z form, kept for A/B sweeps."""
+    return os.environ.get("CNB_NO_Z", "1") == "1"
 _EXPLICIT_BWD = bool(os.environ.get("CNB_EXPLICIT_BWD", ""))
 _FUSED_BWD = bool(os.environ.get("CNB_FUSED_BWD", ""))
 
@@ -124,6 +136,7 @@ def _kernel(
     dwb_ref,  # [1, Cp]
     w1_ref,  # [Cp, 4C]   (ln_scale pre-folded)
     b1_ref,  # [1, 4C]    (ln_bias pre-folded)
+    w1cs_ref,  # [1, 4C]  column sums of the folded w1 (z-free LN fixup)
     w2_ref,  # [4C, Cp]   (gamma pre-folded)
     b2_ref,  # [1, Cp]    (gamma pre-folded)
     out_ref,  # [1, RC, wpad, Cp] VMEM block
@@ -137,6 +150,7 @@ def _kernel(
     nsplit: int,
     eps: float,
     save_res: bool = False,
+    no_z: bool = False,
 ):
     if save_res:
         y_ref, slab, sem = rest
@@ -276,7 +290,6 @@ def _kernel(
             mean = y.sum(-1, keepdims=True) * (1.0 / c)
             var = (y * y).sum(-1, keepdims=True) * (1.0 / c) - mean * mean
         r = lax.rsqrt(jnp.maximum(var, 0.0) + eps)
-        z = (y * r - mean * r).astype(dt)
         if save_res:
             # backward residual: the dwconv+bias output y (pre-LN). The
             # backward recomputes the LN moments from it (cheap keepdims
@@ -285,15 +298,27 @@ def _kernel(
             y_ref[0, r0 : r0 + gr] = jnp.pad(
                 y.astype(dt), ((0, 0), (3, wpad - w - 3), (0, 0))
             )
-        return z
+        if no_z:
+            # z-free: hand the raw y to fc1; normalisation is applied to
+            # the fc1 OUTPUT as a per-row 2-FMA fixup (see _no_z). No
+            # full-slab normalise pass runs on the VPU.
+            return y.astype(dt), mean * r, r
+        z = (y * r - mean * r).astype(dt)
+        return z, None, None
 
-    def mlp_out(z, r0):
+    def mlp_out(z, a, r, r0):
         rows = z.reshape(gr * w, cpad)
-        hmat = (
-            jnp.dot(rows, w1_ref[:].astype(dt),
-                    preferred_element_type=jnp.float32)
-            + b1_ref[0, :]
-        )
+        hmat = jnp.dot(rows, w1_ref[:].astype(dt),
+                       preferred_element_type=jnp.float32)
+        if no_z:
+            # LN(y) @ w1 + b1 = r*(y @ w1) - (mean*r)*colsum(w1) + b1
+            hmat = (
+                hmat * r.reshape(gr * w, 1)
+                - a.reshape(gr * w, 1) * w1cs_ref[0, :]
+                + b1_ref[0, :]
+            )
+        else:
+            hmat = hmat + b1_ref[0, :]
         hmat = _gelu_fast(hmat)
         o = (
             jnp.dot(hmat.astype(dt), w2_ref[:].astype(dt),
@@ -310,7 +335,7 @@ def _kernel(
 
     zs = [dw_ln(k * gr) for k in range(nsplit)]
     for k in range(nsplit):
-        mlp_out(zs[k], k * gr)
+        mlp_out(*zs[k], k * gr)
 
 
 def _pick_row_chunk(h: int, w: int, c: int, dtype_bytes: int = 2) -> int:
@@ -422,13 +447,17 @@ def _forward_padded(
     w1p = jnp.pad(w1f.astype(x_pad.dtype), ((0, cpad - c), (0, 0)))
     w2p = jnp.pad(w2f.astype(x_pad.dtype), ((0, 0), (0, cpad - c)))
 
+    # column sums of the folded fc1 weights for the z-free LN fixup
+    # (over the REAL c rows; the padded rows of w1p are zero anyway)
+    w1cs = jnp.sum(w1f, axis=0).reshape(1, -1)
+
     total = b * nrows
     nsplit = _NSPLIT_OVERRIDE or (2 if (rc % 2 == 0 and rc >= 8) else 1)
     if rc % nsplit:
         nsplit = 1
     kern = functools.partial(
         _kernel, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, nsplit=nsplit,
-        eps=eps, save_res=save_res,
+        eps=eps, save_res=save_res, no_z=_no_z(),
     )
 
     def out_index(g):
@@ -461,6 +490,7 @@ def _forward_padded(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=out_spec,
         scratch_shapes=[
@@ -479,7 +509,7 @@ def _forward_padded(
             transcendentals=b * h * w * 4 * c,
         ),
     )(
-        x_pad, dw, row2(dw_bias, cpad), w1p, row2(b1f, 4 * c), w2p,
+        x_pad, dw, row2(dw_bias, cpad), w1p, row2(b1f, 4 * c), w1cs, w2p,
         row2(b2f, cpad),
     )
     return out

@@ -346,6 +346,7 @@ def _kernel_v2(
     cpad: int,
     nrows: int,
     eps: float,
+    vec_dx: bool = False,
 ):
     """Residual-consuming one-kernel backward: no dwconv recompute.
 
@@ -529,18 +530,32 @@ def _kernel_v2(
 
     # ---- dx for the center rows: correlation with flipped taps + residual
     dyp = jnp.pad(d_y, ((0, 0), (3, wpad - w - 3), (0, 0)))
-    rows_dx = [
-        (
-            sum(
-                dyp[j + 6 - dy, dx_ : 0 + dx_ + w, :]
-                * dw_ref[dy, 6 - dx_, :]
-                for dy in range(7)
-                for dx_ in range(7)
-            )
-        )[None]
-        for j in range(rc)
-    ]
-    d_x = jnp.concatenate(rows_dx, axis=0)
+    if vec_dx:
+        # whole-chunk form: 49 [rc, w, cpad] slice-FMAs instead of rc
+        # per-row expressions — at the narrow stages (w <= ~24) the
+        # per-row slices are [w, cpad] slivers whose sublane occupancy and
+        # per-op overhead dominate; the 3-D form keeps one chunk-sized
+        # accumulator live (rc*w*cpad fp32, ~1.2 MB at 20x20x768), far
+        # under the raised VMEM cap. Measured: see BASELINE.md round 4.
+        d_x = sum(
+            dyp[6 - dy : 6 - dy + rc, dx_ : dx_ + w, :]
+            * dw_ref[dy, 6 - dx_, :]
+            for dy in range(7)
+            for dx_ in range(7)
+        )
+    else:
+        rows_dx = [
+            (
+                sum(
+                    dyp[j + 6 - dy, dx_ : 0 + dx_ + w, :]
+                    * dw_ref[dy, 6 - dx_, :]
+                    for dy in range(7)
+                    for dx_ in range(7)
+                )
+            )[None]
+            for j in range(rc)
+        ]
+        d_x = jnp.concatenate(rows_dx, axis=0)
     d_x = d_x + gs[3 : 3 + rc, 3 : 3 + w, :].astype(f32)
     dx_ref[0] = jnp.pad(
         d_x.astype(dx_ref.dtype), ((0, 0), (3, wpad - w - 3), (0, 0))
@@ -630,6 +645,7 @@ def fused_block_bwd_v2(
 
     kern = functools.partial(
         _kernel_v2, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, eps=eps,
+        vec_dx=w <= 24,
     )
     const = lambda *_: (0, 0)
     const3 = lambda *_: (0, 0, 0)
@@ -706,8 +722,11 @@ def fused_block_bwd_v2(
 def _pick_row_tile(w: int, c: int, next_: int) -> int:
     """Rows per MLP sub-tile inside a chunk: bound the fp32 [st*w, 4c]
     temporaries (~5 live at once) to ~6 MB and keep the matmul M dimension
-    (st*w tokens) <= ~512."""
-    by_mem = max(1, int(6e6) // (w * 4 * c * 4 * 5))
+    (st*w tokens) <= ~512. At the narrow stages (w <= 24, i.e. 20x20x768)
+    the 6 MB bound would leave M = 80-token sliver matmuls; a 20 MB bound
+    (still well under the raised VMEM cap) gets M back to ~320-512."""
+    budget = int(20e6) if w <= 24 else int(6e6)
+    by_mem = max(1, budget // (w * 4 * c * 4 * 5))
     by_m = max(1, 512 // w)
     return max(1, min(next_, by_mem, by_m))
 

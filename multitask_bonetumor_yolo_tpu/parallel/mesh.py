@@ -70,9 +70,13 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
         )
     packer = _packer_cache.get(id(mesh))
     if packer is None or packer.mesh is not mesh:
+        import os
+
         from .pack import BatchPacker
 
-        packer = BatchPacker(mesh)
+        packer = BatchPacker(
+            mesh, streams=int(os.environ.get("MTBY_UPLOAD_STREAMS", "1"))
+        )
         _packer_cache[id(mesh)] = packer
     return packer(batch)
 

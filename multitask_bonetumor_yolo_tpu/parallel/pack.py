@@ -22,6 +22,7 @@ bytes to it, and every unpack op is batch-dim local (no collectives).
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -33,6 +34,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # spec: ((key, dtype_str, shape), ...) sorted by key — static per batch shape
 Spec = Tuple[Tuple[str, str, Tuple[int, ...]], ...]
+
+# upload spec rows additionally carry a bit-packed flag:
+# ((key, dtype_str, shape, packed), ...)
+UploadSpec = Tuple[Tuple[str, str, Tuple[int, ...], bool], ...]
 
 
 _CANON = {
@@ -48,32 +53,72 @@ def _canonical(v: np.ndarray) -> np.ndarray:
     return v.astype(tgt) if tgt is not None else v
 
 
-def _spec_of(batch: Dict[str, np.ndarray]) -> Spec:
+def _bitpackable(k: str, v: np.ndarray, keys, n_shards: int) -> bool:
+    """A leaf rides the 8x bit-packed path when it is a named binary mask
+    (uint8/bool with values in {0,1} BY CONTRACT — data.dataset binarizes
+    masks with >0) whose per-shard element count is a multiple of 8."""
+    return (
+        k in keys
+        and v.dtype in (np.uint8, np.bool_)
+        and (v.size // max(n_shards, 1)) % 8 == 0
+        and v.size > 0
+    )
+
+
+def _spec_of(batch: Dict[str, np.ndarray], bitpack_keys=(),
+             n_shards: int = 1) -> UploadSpec:
     return tuple(
-        (k, np.dtype(batch[k].dtype).str, tuple(np.shape(batch[k])))
+        (
+            k,
+            np.dtype(batch[k].dtype).str,
+            tuple(np.shape(batch[k])),
+            _bitpackable(k, batch[k], bitpack_keys, n_shards),
+        )
         for k in sorted(batch)
     )
 
 
-def _pack_host(batch: Dict[str, np.ndarray], n_shards: int) -> np.ndarray:
+def _pack_host(batch: Dict[str, np.ndarray], n_shards: int,
+               spec: UploadSpec) -> np.ndarray:
     parts = []
-    for k in sorted(batch):
+    for k, _dt, _shape, packed in spec:
         v = np.ascontiguousarray(batch[k])
         if v.ndim < 1 or v.shape[0] % n_shards:
             raise ValueError(
                 f"batch['{k}'] leading dim {v.shape} not divisible by "
                 f"data-axis size {n_shards}"
             )
-        parts.append(v.view(np.uint8).reshape(n_shards, -1))
+        if packed:
+            # 8 binary pixels per byte; LSB-first so the device unpack is a
+            # plain shift-and-mask broadcast
+            v = np.packbits(
+                v.reshape(n_shards, -1) != 0, axis=1, bitorder="little"
+            )
+            parts.append(v)
+        else:
+            parts.append(v.view(np.uint8).reshape(n_shards, -1))
     return np.concatenate(parts, axis=1)
 
 
-def _make_unpack(spec: Spec, n_shards: int):
-    def unpack(buf: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def _make_unpack(spec: UploadSpec, n_shards: int):
+    def unpack(*bufs) -> Dict[str, jnp.ndarray]:
+        buf = jnp.concatenate(bufs, axis=1) if len(bufs) > 1 else bufs[0]
         out = {}
         off = 0
-        for k, dt, shape in spec:
+        for k, dt, shape, packed in spec:
             dtype = np.dtype(dt)
+            if packed:
+                nbytes = math.prod(shape) // 8 // n_shards
+                seg = buf[:, off : off + nbytes]
+                off += nbytes
+                bits = (
+                    seg[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)
+                ) & jnp.uint8(1)
+                arr = bits.reshape(shape)
+                if dtype == np.bool_:
+                    arr = arr != 0
+                out[k] = arr
+                continue
             nbytes = math.prod(shape) * dtype.itemsize // n_shards
             seg = buf[:, off : off + nbytes]
             off += nbytes
@@ -97,37 +142,73 @@ class BatchPacker:
     ``mesh=None`` targets the default device; with a mesh, the buffer is
     placed shard-major over the ``data`` axis and the unpacked leaves come
     out sharded ``P("data")`` on their leading dim.
+
+    ``bitpack_keys`` names binary-mask leaves (uint8/bool, values {0,1})
+    shipped 8 pixels/byte — GT masks are ~25% of a 640² batch's bytes and
+    the relay upload path is the eval-pipeline's wall (BASELINE.md round-3
+    eval table); the device unpack is one shift-and-mask broadcast.
+
+    ``streams > 1`` splits the buffer into that many byte-range chunks and
+    issues their ``device_put`` calls concurrently from a thread pool — a
+    lever for relays whose per-transfer throughput is stream-limited; the
+    unpack jit concatenates on device, still one dispatch.
     """
 
-    def __init__(self, mesh: Optional[Mesh] = None):
+    def __init__(self, mesh: Optional[Mesh] = None,
+                 bitpack_keys: Tuple[str, ...] = ("mask",),
+                 streams: int = 1):
         self.mesh = mesh
         self.n_shards = mesh.shape["data"] if mesh is not None else 1
-        self._unpack_cache: Dict[Spec, object] = {}
+        self.bitpack_keys = tuple(bitpack_keys)
+        self.streams = max(1, int(streams))
+        self._unpack_cache: Dict[UploadSpec, object] = {}
+        self._pool = (
+            ThreadPoolExecutor(self.streams) if self.streams > 1 else None
+        )
+
+    def _put(self, buf: np.ndarray):
+        sh = (
+            NamedSharding(self.mesh, P("data", None))
+            if self.mesh is not None
+            else None
+        )
+
+        def put1(a):
+            return jax.device_put(a, sh) if sh is not None else jax.device_put(a)
+
+        n = buf.shape[1]
+        k = min(self.streams, max(1, n // (64 * 1024)))
+        if k == 1:
+            return [put1(buf)]
+        edges = [round(i * n / k) for i in range(k + 1)]
+        chunks = [
+            np.ascontiguousarray(buf[:, edges[i] : edges[i + 1]])
+            for i in range(k)
+        ]
+        return list(self._pool.map(put1, chunks))
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         # canonicalize 64-bit hosts dtypes the way jnp.asarray would
         # (x64 is disabled in JAX by default)
         batch = {k: _canonical(np.asarray(v)) for k, v in batch.items()}
-        spec = _spec_of(batch)
-        fn = self._unpack_cache.get(spec)
+        spec = _spec_of(batch, self.bitpack_keys, self.n_shards)
+        buf = _pack_host(batch, self.n_shards, spec)
+        dbufs = self._put(buf)
+        key = (spec, len(dbufs))
+        fn = self._unpack_cache.get(key)
         if fn is None:
             if self.mesh is not None:
                 sh = NamedSharding(self.mesh, P("data", None))
                 out_sh = NamedSharding(self.mesh, P("data"))
                 fn = jax.jit(
                     _make_unpack(spec, self.n_shards),
-                    in_shardings=sh,
+                    in_shardings=(sh,) * len(dbufs),
                     out_shardings=out_sh,
                 )
             else:
                 fn = jax.jit(_make_unpack(spec, 1))
-            self._unpack_cache[spec] = fn
-        buf = _pack_host(batch, self.n_shards)
-        if self.mesh is not None:
-            dbuf = jax.device_put(buf, NamedSharding(self.mesh, P("data", None)))
-        else:
-            dbuf = jax.device_put(buf)
-        return fn(dbuf)
+            self._unpack_cache[key] = fn
+        return fn(*dbufs)
 
 
 # --------------------------------------------------------------- downloads

@@ -389,3 +389,35 @@ def test_tal_soft_targets_bounded_by_iou(rng):
     assert nt[pos].max() <= iou_np.max() + 1e-6
     assert (nt[~pos] == 0).all()
     assert 0 < float(avg_iou) < 1
+
+
+def test_tal_gradients_finite_under_sigmoid_underflow(rng):
+    """Regression: late-training divergence trigger. When negative class
+    logits are pushed so low that sigmoid underflows to EXACTLY 0.0 in f32,
+    the pow VJP of s**alpha (alpha=0.5) is inf; if the assigner were not
+    detached, 0*inf through the candidate where-mask poisons every gradient
+    (observed at ~step 1000 of the round-4 synthetic TAL run). The assigner
+    is a target builder and must be stop_gradient'd (TOOD/ultralytics
+    contract)."""
+    import jax
+
+    cfg = LossConfig(img_size=64, nc_det=2, assigner="tal")
+    (det_levels, seg_logits, cls_logits, masks, img_cls,
+     boxes, valid, _) = make_inputs(rng)
+    # force sigmoid(x) == 0.0 exactly on all non-GT class logits
+    for l in det_levels:
+        l[..., 64:] = -200.0
+    assert float(jax.nn.sigmoid(jnp.float32(-200.0))) == 0.0
+    batch = {"boxes": jnp.asarray(boxes), "box_valid": jnp.asarray(valid),
+             "mask": jnp.asarray(masks), "img_cls": jnp.asarray(img_cls)}
+
+    def f(dl, sl, cl):
+        return multitask_loss(
+            {"det_feats": dl, "seg_logits": sl, "cls_logits": cl},
+            batch, cfg, train=True).total
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(
+        [jnp.asarray(l) for l in det_levels], jnp.asarray(seg_logits),
+        jnp.asarray(cls_logits))
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()

@@ -164,3 +164,41 @@ def test_model_rejects_unknown_mode():
     vars_ = model.init(KEY, x, train=True, mode="train")
     with pytest.raises(ValueError):
         model.apply(vars_, x, train=False, mode="eval", mutable=["batch_stats"])
+
+
+def test_fused_tower_first_conv_exact(monkeypatch):
+    """The concatenated first-layer tower conv (fused_first_conv) must
+    reproduce the unfused per-branch path exactly, in train AND eval modes,
+    for both heads (v1 dual-head exercises DetectHead + SegmentHead)."""
+    cfg = ModelConfig(
+        nc_det=2, nc_img=2, img_size=128, single_head=False,
+        backbone_depths=(1, 1, 1, 1), backbone_dims=(16, 24, 32, 48),
+        bifpn_num_layers=1,
+    )
+    model = MultitaskModel(cfg)
+    x = jnp.asarray(
+        np.random.RandomState(7).rand(2, 128, 128, 3), jnp.float32
+    )
+    vars_ = model.init(KEY, x, train=True, mode="train")
+
+    def run(train, mode):
+        out, ups = model.apply(
+            vars_, x, train=train, mode=mode, mutable=["batch_stats"]
+        )
+        return out, ups["batch_stats"]
+
+    outs = {}
+    for fuse in ("1", "0"):
+        monkeypatch.setenv("MTBY_FUSE_TOWERS", fuse)
+        outs[fuse] = (run(True, "train"), run(False, "infer"))
+    for (o_f, st_f), (o_u, st_u) in zip(outs["1"], outs["0"]):
+        for k in ("det_feats", "seg_coeffs", "protos", "cls_logits"):
+            np.testing.assert_allclose(
+                np.asarray(jnp.concatenate([jnp.ravel(v) for v in jax.tree.leaves(o_f[k])])),
+                np.asarray(jnp.concatenate([jnp.ravel(v) for v in jax.tree.leaves(o_u[k])])),
+                rtol=1e-5, atol=1e-5, err_msg=k,
+            )
+        for a, b in zip(jax.tree.leaves(st_f), jax.tree.leaves(st_u)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )

@@ -63,6 +63,34 @@ def test_pack_rejects_indivisible_batch():
         BatchPacker(mesh)({"x": np.zeros((mesh.shape["data"] + 1, 2))})
 
 
+def test_pack_bitpacks_binary_masks():
+    """'mask' leaves ship 8 pixels/byte: the packed buffer must shrink by
+    ~7/8 of the mask bytes and still round-trip bit-exactly."""
+    from multitask_bonetumor_yolo_tpu.parallel.pack import (
+        _pack_host, _spec_of,
+    )
+
+    batch = _batch()
+    plain = _pack_host(batch, 1, _spec_of(batch, (), 1))
+    packed = _pack_host(batch, 1, _spec_of(batch, ("mask",), 1))
+    saved = batch["mask"].size * 7 // 8
+    assert plain.shape[1] - packed.shape[1] == saved
+    _check(BatchPacker(bitpack_keys=("mask",))(batch), batch)
+    # bool masks round-trip too
+    batch["mask"] = batch["mask"].astype(bool)
+    _check(BatchPacker()(batch), batch)
+
+
+def test_pack_bitpack_skips_non8_multiple():
+    batch = {"mask": np.ones((1, 3, 1, 1), np.uint8)}  # 3 elems: not /8
+    _check(BatchPacker()(batch), batch)
+
+
+def test_pack_multistream_roundtrip():
+    batch = _batch()
+    _check(BatchPacker(streams=4)(batch), batch)
+
+
 # ------------------------------------------------------------- OutputPacker
 def test_output_packer_roundtrip():
     import jax.numpy as jnp

@@ -285,3 +285,35 @@ def test_multi_device_equivalence_midsize_dual_head(synth_root):
         np.testing.assert_allclose(
             np.asarray(p1), np.asarray(p8), atol=2 * tc.lr, rtol=0
         )
+
+
+def test_apply_gradients_skips_nonfinite():
+    """A NaN/inf gradient must not poison params, opt-state, or batch-stats
+    (AdamW moments are otherwise unrecoverable); a finite gradient after a
+    skipped step must still apply normally."""
+    from multitask_bonetumor_yolo_tpu.train.state import (
+        TrainState, make_optimizer,
+    )
+
+    tc = TrainConfig(lr=1e-2, steps_per_epoch=1)
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    stats = {"bn": {"mean": jnp.zeros((4,), jnp.float32)}}
+    tx = make_optimizer(tc)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats=stats,
+        opt_state=tx.init(params), tx=tx,
+    )
+
+    bad = {"w": jnp.array([1.0, jnp.nan, 0.0, 0.0])}
+    bad_stats = {"bn": {"mean": jnp.full((4,), jnp.nan)}}
+    s1 = state.apply_gradients(grads=bad, batch_stats=bad_stats)
+    assert int(s1.step) == 1  # scheduler still advances
+    np.testing.assert_array_equal(np.asarray(s1.params["w"]), np.ones(4))
+    assert np.isfinite(np.asarray(s1.batch_stats["bn"]["mean"])).all()
+    for a, b in zip(jax.tree.leaves(s1.opt_state), jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good = {"w": jnp.full((4,), 0.5)}
+    s2 = s1.apply_gradients(grads=good, batch_stats=stats)
+    assert (np.asarray(s2.params["w"]) != 1.0).all()
+    assert np.isfinite(np.asarray(s2.params["w"])).all()
