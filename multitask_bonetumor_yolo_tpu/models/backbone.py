@@ -95,15 +95,17 @@ def _use_pallas(pallas: str, dim: int) -> bool:
     )
 
 
-def _bwd_for_dim(dim: int) -> str:
+def _bwd_for_dim(dim: int, policy: str = "auto") -> str:
     """Backward-path policy per stage width (measured, BASELINE.md round-3
     table): the one-kernel fused Pallas backward wins at the wide spatial
     stages, while the vjp-of-XLA-reference wins at 40^2/20^2 where the
-    kernel's per-row expressions are overhead-bound. Override with
-    CNB_BWD=fused|ref (applies to all stages)."""
-    import os
+    kernel's per-row expressions are overhead-bound. ``policy`` comes from
+    ``ModelConfig.block_bwd`` ("auto"|"fused"|"ref", serialized to the
+    config.json sidecar); CNB_BWD is an experiment-only env override that
+    warns (applies to all stages)."""
+    from ..utils.knobs import env_override
 
-    ov = os.environ.get("CNB_BWD", "")
+    ov = env_override("CNB_BWD", policy)
     if ov in ("fused", "ref"):
         return ov
     # v2 fused backward (saved-y residual) 3-block-chain fwd+bwd at batch
@@ -131,11 +133,13 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float = 1e-6
     dtype: Dtype = jnp.float32
     pallas: str = "auto"
+    ln_zfree: bool = True
+    block_bwd: str = "auto"
 
     @nn.compact
     def __call__(self, x, padded_hw=None):
         from ..ops.pallas.convnext_block import (
-            convnext_block_padded, convnext_block_ref,
+            convnext_block_padded, convnext_block_ref, resolve_no_z,
         )
 
         c = self.dim
@@ -159,7 +163,8 @@ class ConvNeXtBlock(nn.Module):
             w_real, c_real = padded_hw
             assert c_real == c
             return convnext_block_padded(
-                *args, w_real, c_real, 1e-6, False, 0, _bwd_for_dim(c)
+                *args, w_real, c_real, 1e-6, False, 0,
+                _bwd_for_dim(c, self.block_bwd), resolve_no_z(self.ln_zfree),
             )
         return convnext_block_ref(*args)
 
@@ -183,6 +188,8 @@ class ConvNeXtFeatures(nn.Module):
     out_indices: Sequence[int] = (1, 2, 3)
     dtype: Dtype = jnp.float32
     pallas: str = "auto"
+    ln_zfree: bool = True
+    block_bwd: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -201,12 +208,13 @@ class ConvNeXtFeatures(nn.Module):
             blocks = [
                 ConvNeXtBlock(
                     dim, dtype=self.dtype, pallas=self.pallas,
+                    ln_zfree=self.ln_zfree, block_bwd=self.block_bwd,
                     name=f"stage{i}_block{j}",
                 )
                 for j in range(depth)
             ]
             if _use_pallas(self.pallas, dim) and not (
-                train and _bwd_for_dim(dim) == "ref"
+                train and _bwd_for_dim(dim, self.block_bwd) == "ref"
             ):
                 # chain the stage's blocks in the kernel's padded layout:
                 # one XLA pad + one slice per stage instead of per block
@@ -234,12 +242,15 @@ class ConvNeXtTiny(nn.Module):
     depths: Sequence[int] = TINY_DEPTHS
     dims: Sequence[int] = TINY_DIMS
     bn_momentum: float = BN_MOMENTUM_BODY
+    ln_zfree: bool = True
+    block_bwd: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         p3, p4, p5 = ConvNeXtFeatures(
             depths=self.depths, dims=self.dims,
-            dtype=self.dtype, pallas=self.pallas, name="trunk"
+            dtype=self.dtype, pallas=self.pallas,
+            ln_zfree=self.ln_zfree, block_bwd=self.block_bwd, name="trunk"
         )(x, train)
         bm = self.bn_momentum
         cp3 = C2f(256, dtype=self.dtype, bn_momentum=bm, name="c2f_p3")(p3, train)

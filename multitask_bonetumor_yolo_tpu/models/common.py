@@ -18,7 +18,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -67,7 +67,7 @@ class ConvBN(nn.Module):
         train: bool = True,
         *,
         conv_input: bool = True,
-        in_features: int = None,
+        in_features: Optional[int] = None,
     ) -> jnp.ndarray:
         p = autopad(self.kernel_size, None, self.dilation)
         conv = nn.Conv(
@@ -89,7 +89,8 @@ class ConvBN(nn.Module):
             # head tower first-conv concat. The dummy call only CREATES (or
             # shape-checks) the params; the conv's input width is x's width
             # unless the caller's composition changed it (``in_features``).
-            _ = conv(jnp.zeros((1, 1, 1, in_features or x.shape[-1]), x.dtype))
+            cin = x.shape[-1] if in_features is None else in_features
+            _ = conv(jnp.zeros((1, 1, 1, cin), x.dtype))
         # BN statistics in fp32 for stability; result cast back to compute dtype.
         x = nn.BatchNorm(
             use_running_average=not train,

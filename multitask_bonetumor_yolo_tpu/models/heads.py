@@ -28,7 +28,7 @@ log(5 / nc / (640 / stride)^2) per level.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +57,7 @@ class HeadConv(nn.Module):
         train: bool = True,
         *,
         conv_input: bool = True,
-        in_features: int = None,
+        in_features: Optional[int] = None,
     ):
         return ConvBN(
             self.features,
@@ -108,10 +108,14 @@ def fused_first_conv(x: jnp.ndarray, kernels, dtype) -> jnp.ndarray:
     )
 
 
-def _fuse_towers() -> bool:
-    import os
+def resolve_fuse(cfg_value: bool = True) -> bool:
+    """Head first-conv fusion flag — owned by ``ModelConfig.fuse_towers``
+    (sidecar-serialized); MTBY_FUSE_TOWERS is an experiment-only env
+    override that warns (utils/knobs.py). Read at trace time; participates
+    in jit cache keys through the frozen ModelConfig."""
+    from ..utils.knobs import env_override
 
-    return os.environ.get("MTBY_FUSE_TOWERS", "1") == "1"
+    return env_override("MTBY_FUSE_TOWERS", cfg_value)
 
 
 class DetectTowers(nn.Module):
@@ -193,6 +197,7 @@ class DetectHead(nn.Module):
     strides: Sequence[int] = (8, 16, 32)
     reg_max: int = 16
     dtype: Dtype = jnp.float32
+    fuse: bool = True
 
     @nn.compact
     def __call__(self, feats, train: bool = True):
@@ -200,7 +205,7 @@ class DetectHead(nn.Module):
             self.nc, self.ch0, self.strides, self.reg_max,
             dtype=self.dtype, name="towers",
         )
-        if self.is_initializing() or not _fuse_towers():
+        if self.is_initializing() or not resolve_fuse(self.fuse):
             return towers(feats, train)
         # fused first layer: cv2_i_0 (c2 ch) + cv3_i_0 (c3 ch) as ONE conv
         p = self.variables["params"]["towers"]
@@ -317,6 +322,7 @@ class SegmentHead(nn.Module):
     strides: Sequence[int] = (8, 16, 32)
     reg_max: int = 16
     dtype: Dtype = jnp.float32
+    fuse: bool = True
 
     @nn.compact
     def __call__(
@@ -334,7 +340,7 @@ class SegmentHead(nn.Module):
         # fused first layer (exactness: see fused_first_conv): the coeff
         # (cv4_i_0, c4 ch), box (cv2_i_0, c2 ch) and cls (cv3_i_0, c3 ch)
         # towers all read feats[i]; one 3x3 conv feeds all three.
-        fuse = not self.is_initializing() and _fuse_towers()
+        fuse = not self.is_initializing() and resolve_fuse(self.fuse)
         first_outs = coeff_first = None
         if fuse:
             p = self.variables["params"]

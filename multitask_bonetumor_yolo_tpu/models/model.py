@@ -71,6 +71,19 @@ class ModelConfig:
     # deterministic for fixed params (kills the documented checkpoint-
     # selection jitter, BASELINE.md "reading the numbers honestly").
     eval_bn: str = "reference"
+    # Performance knobs (numerics-preserving; serialized to the config.json
+    # sidecar so a run's executed graph is reconstructable — SURVEY §5
+    # config row. Env vars MTBY_FUSE_TOWERS / CNB_NO_Z / CNB_BWD remain as
+    # experiment-only overrides that warn, utils/knobs.py):
+    #   fuse_towers — heads' per-level first convs run as ONE fused conv
+    #     (exact; models/heads.py::fused_first_conv)
+    #   ln_zfree   — ConvNeXt Pallas block uses the z-free LN formulation
+    #     (ops/pallas/convnext_block.py::resolve_no_z)
+    #   block_bwd  — ConvNeXt block backward: "auto" (per-stage measured
+    #     policy) | "fused" | "ref" (models/backbone.py::_bwd_for_dim)
+    fuse_towers: bool = True
+    ln_zfree: bool = True
+    block_bwd: str = "auto"
 
     @property
     def compute_dtype(self):
@@ -97,7 +110,8 @@ class MultitaskModel(nn.Module):
         bm = BN_MOMENTUM_FROZEN if cfg.eval_bn == "frozen" else BN_MOMENTUM_BODY
         c3, c4, c5 = ConvNeXtTiny(
             dtype=dt, pallas=cfg.pallas, depths=tuple(cfg.backbone_depths),
-            dims=tuple(cfg.backbone_dims), bn_momentum=bm, name="backbone",
+            dims=tuple(cfg.backbone_dims), bn_momentum=bm,
+            ln_zfree=cfg.ln_zfree, block_bwd=cfg.block_bwd, name="backbone",
         )(x, train)
         p3, p4, p5 = BiFPN(
             cfg.bifpn_feature_size, cfg.bifpn_num_layers, dtype=dt,
@@ -114,6 +128,7 @@ class MultitaskModel(nn.Module):
             ch0=cfg.bifpn_feature_size,
             reg_max=cfg.reg_max,
             dtype=dt,
+            fuse=cfg.fuse_towers,
             name="segment",
         )(feats, head_train)
 
@@ -125,6 +140,7 @@ class MultitaskModel(nn.Module):
                 ch0=cfg.bifpn_feature_size,
                 reg_max=cfg.reg_max,
                 dtype=dt,
+                fuse=cfg.fuse_towers,
                 name="detect",
             )(feats, head_train)
 

@@ -43,34 +43,54 @@ isolation but loses in the full train step (see ``_bwd_padded``).
 from __future__ import annotations
 
 import functools
-import os
 
-# experimentation hooks (read once at import; defaults = production choice)
-_NSPLIT_OVERRIDE = int(os.environ.get("CNB_NSPLIT", "0"))
+# experimentation hooks (defaults = production choice; setting any of these
+# env vars warns via utils.knobs — the run is then not config-described)
+
+
+def _nsplit_override() -> int:
+    from ...utils.knobs import env_override
+
+    return env_override("CNB_NSPLIT", 0)
 
 
 def _ln_mxu() -> bool:
-    """LN-moment path: '0' = VPU cross-lane reductions (default), '1' =
+    """LN-moment path: False = VPU cross-lane reductions (default), True =
     sums via ``y @ ones`` MXU matmuls. Measured (scripts/bench_block.py,
     batch 8 @640): the MXU form LOSES at every stage width — 1.53→1.59 ms
     stage0, 0.30→0.38 ms stage3 — the two extra full-slab MXU reads cost
     more than the ~7-step VPU shuffle tree they replace. Kept as an
-    experiment hook only."""
-    return os.environ.get("CNB_LN_MXU", "0") == "1"
+    experiment hook only (CNB_LN_MXU=1)."""
+    from ...utils.knobs import env_override
+
+    return env_override("CNB_LN_MXU", False)
 
 
-def _no_z() -> bool:
-    """'1' (default) = the z-free formulation: LN never materialises the
-    normalised tensor. mean/rsqrt are PER-ROW scalars, so
+def resolve_no_z(cfg_value: bool = True) -> bool:
+    """The z-free LN formulation flag: LN never materialises the normalised
+    tensor. mean/rsqrt are PER-ROW scalars, so
         LN(y) @ w1 = r * (y @ w1) - (mean * r) * colsum(w1)
     — fc1 consumes the raw dwconv output y (MXU), and normalisation
     becomes a 2-FMA per-row fixup on the fc1 OUTPUT. This deletes the
     full-slab VPU normalise pass that serialised behind the dwconv
-    (per-stage measurements: BASELINE.md round-4 table). '0' = the
-    round-3 materialised-z form, kept for A/B sweeps."""
-    return os.environ.get("CNB_NO_Z", "1") == "1"
-_EXPLICIT_BWD = bool(os.environ.get("CNB_EXPLICIT_BWD", ""))
-_FUSED_BWD = bool(os.environ.get("CNB_FUSED_BWD", ""))
+    (per-stage measurements: BASELINE.md round-5 kernel table). False =
+    the round-3 materialised-z form, kept for A/B sweeps.
+
+    Owned by ``ModelConfig.ln_zfree`` (serialized to the config.json
+    sidecar); ``CNB_NO_Z`` is an experiment-only env override that warns."""
+    from ...utils.knobs import env_override
+
+    return env_override("CNB_NO_Z", cfg_value)
+def _explicit_bwd() -> bool:
+    from ...utils.knobs import env_override
+
+    return env_override("CNB_EXPLICIT_BWD", False)
+
+
+def _fused_bwd_v1() -> bool:
+    from ...utils.knobs import env_override
+
+    return env_override("CNB_FUSED_BWD", False)
 
 
 import jax
@@ -380,7 +400,9 @@ def unpad_from_blocks(x_pad: jnp.ndarray, w: int, c: int) -> jnp.ndarray:
     return x_pad[:, :, 3 : 3 + w, :c]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16)
+)
 def convnext_block_padded(
     x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     w: int,
@@ -389,6 +411,7 @@ def convnext_block_padded(
     interpret: bool = False,
     row_chunk: int = 0,
     bwd: str = "ref",
+    no_z: bool = True,
 ):
     """Fused ConvNeXt block on the padded chained layout [B, H, wpad, cpad]
     (Pallas forward; backward selected by ``bwd``). ``w``/``c`` are the real
@@ -402,14 +425,14 @@ def convnext_block_padded(
     models/backbone.py picks per dim."""
     return _forward_padded(
         x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-        w, c, eps, interpret, row_chunk,
+        w, c, eps, interpret, row_chunk, no_z=no_z,
     )
 
 
 def _forward_padded(
     x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     w: int, c: int, eps: float, interpret: bool, row_chunk: int = 0,
-    save_res: bool = False,
+    save_res: bool = False, no_z: bool = True,
 ):
     b, h, wpad, cpad = x_pad.shape
     assert wpad == -(-(w + 6) // 8) * 8 and cpad == -(-c // 128) * 128, (
@@ -452,12 +475,12 @@ def _forward_padded(
     w1cs = jnp.sum(w1f, axis=0).reshape(1, -1)
 
     total = b * nrows
-    nsplit = _NSPLIT_OVERRIDE or (2 if (rc % 2 == 0 and rc >= 8) else 1)
+    nsplit = _nsplit_override() or (2 if (rc % 2 == 0 and rc >= 8) else 1)
     if rc % nsplit:
         nsplit = 1
     kern = functools.partial(
         _kernel, rc=rc, w=w, c=c, cpad=cpad, nrows=nrows, nsplit=nsplit,
-        eps=eps, save_res=save_res, no_z=_no_z(),
+        eps=eps, save_res=save_res, no_z=no_z,
     )
 
     def out_index(g):
@@ -516,26 +539,26 @@ def _forward_padded(
 
 
 def _fwd_padded(x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
-                gamma, w, c, eps, interpret, row_chunk, bwd):
+                gamma, w, c, eps, interpret, row_chunk, bwd, no_z):
     if bwd == "fused":
         # residual-saving forward: the dwconv output y rides along so the
         # backward kernel skips the 49-tap forward recompute (the LN
         # moments are recomputed from y — cheap lane reductions)
         out, y = _forward_padded(
             x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2,
-            gamma, w, c, eps, interpret, row_chunk, save_res=True,
+            gamma, w, c, eps, interpret, row_chunk, save_res=True, no_z=no_z,
         )
         return out, (x_pad, y, dw_kernel, dw_bias, ln_scale, ln_bias,
                      w1, b1, w2, b2, gamma)
     out = _forward_padded(
         x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-        w, c, eps, interpret, row_chunk,
+        w, c, eps, interpret, row_chunk, no_z=no_z,
     )
     return out, (x_pad, dw_kernel, dw_bias, ln_scale, ln_bias, w1, b1, w2,
                  b2, gamma)
 
 
-def _bwd_padded(w, c, eps, interpret, row_chunk, bwd, residuals, g):
+def _bwd_padded(w, c, eps, interpret, row_chunk, bwd, no_z, residuals, g):
     """Explicit backward: the depthwise convs (forward-y recompute and the
     input-gradient correlation) run as the Pallas dwconv kernel — XLA's
     depthwise lowering is the slow piece of a vjp-of-reference backward —
@@ -552,7 +575,7 @@ def _bwd_padded(w, c, eps, interpret, row_chunk, bwd, residuals, g):
             x_pad, y, g, *params, w=w, c=c, eps=eps, interpret=interpret,
         )
 
-    if _FUSED_BWD:
+    if _fused_bwd_v1():
         from .convnext_block_bwd import fused_block_bwd
 
         return fused_block_bwd(
@@ -560,7 +583,7 @@ def _bwd_padded(w, c, eps, interpret, row_chunk, bwd, residuals, g):
             interpret=interpret,
         )
 
-    if not _EXPLICIT_BWD:
+    if not _explicit_bwd():
         # Default: vjp of the XLA reference. The explicit path below beats
         # it measured in ISOLATION (5.2 vs 7.7 ms for a stage-0 block's
         # fwd+bwd at batch 8), but in the FULL train step the extra
@@ -678,6 +701,7 @@ def convnext_block(
     interpret: bool = False,
     row_chunk: int = 0,
     bwd: str = "ref",
+    no_z: bool = True,
 ):
     """Fused ConvNeXt block on the plain [B, H, W, C] layout.
 
@@ -687,6 +711,6 @@ def convnext_block(
     _, _, w, c = x.shape
     out = convnext_block_padded(
         pad_for_blocks(x), dw_kernel, dw_bias, ln_scale, ln_bias,
-        w1, b1, w2, b2, gamma, w, c, eps, interpret, row_chunk, bwd,
+        w1, b1, w2, b2, gamma, w, c, eps, interpret, row_chunk, bwd, no_z,
     )
     return unpad_from_blocks(out, w, c)

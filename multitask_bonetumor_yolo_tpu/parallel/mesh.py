@@ -46,7 +46,7 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+def shard_batch(batch: Dict, mesh: Mesh, streams: Optional[int] = None) -> Dict:
     """Upload a host batch with each leaf's leading dim sharded over 'data'.
 
     The leading (batch) dim must divide the data-axis size — the Trainer
@@ -58,7 +58,13 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
 
     The upload rides ONE packed transfer (parallel/pack.py) instead of a
     device_put per leaf — the relay's ~29 ms fixed per-transfer cost made
-    leaf-wise upload (~200 ms/batch-8) dominate the train step itself."""
+    leaf-wise upload (~200 ms/batch-8) dominate the train step itself.
+
+    ``streams`` (default ``DataConfig.upload_streams`` = 4) splits the
+    packed buffer across that many concurrent relay transfers — the relay's
+    per-stream throughput is the cold-upload wall (BASELINE.md eval table);
+    MTBY_UPLOAD_STREAMS remains an experiment-only env override that
+    warns."""
     n_data = mesh.shape["data"]
     sizes = {k: np.shape(v)[0] for k, v in batch.items() if np.ndim(v)}
     bad = {k: s for k, s in sizes.items() if s % n_data}
@@ -68,17 +74,20 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
             f"use a per-device batch size (global = per_device * {n_data}) "
             f"or a pad_last loader"
         )
-    packer = _packer_cache.get(id(mesh))
-    if packer is None or packer.mesh is not mesh:
-        import os
+    if streams is None:
+        from ..utils.knobs import env_override
 
+        streams = env_override("MTBY_UPLOAD_STREAMS", DEFAULT_UPLOAD_STREAMS)
+    key = (id(mesh), int(streams))
+    packer = _packer_cache.get(key)
+    if packer is None or packer.mesh is not mesh:
         from .pack import BatchPacker
 
-        packer = BatchPacker(
-            mesh, streams=int(os.environ.get("MTBY_UPLOAD_STREAMS", "1"))
-        )
-        _packer_cache[id(mesh)] = packer
+        packer = BatchPacker(mesh, streams=int(streams))
+        _packer_cache[key] = packer
     return packer(batch)
 
 
-_packer_cache: Dict[int, "object"] = {}
+DEFAULT_UPLOAD_STREAMS = 4
+
+_packer_cache: Dict[tuple, "object"] = {}

@@ -61,16 +61,23 @@ class TrainState(struct.PyTreeNode):
         model (bandwidth-bound) — cheap insurance for long unattended runs.
         The reference's Lightning stack has no such guard; this is a
         deliberate robustness improvement (running_main_v3.py:826 clips only).
+
+        Non-finiteness is probed per-leaf with ``jnp.isfinite(g).all()``
+        rather than via the squared global norm — a huge-but-finite gradient
+        (one clip_by_global_norm would have salvaged) overflows the fp32
+        sum-of-squares to inf and would be spuriously skipped (ADVICE r4).
+
+        Returns ``(new_state, ok)`` — ``ok`` is a device bool (True = the
+        step was applied) so the train step can surface skipped steps in
+        its metrics instead of freezing silently.
         """
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
-        gnorm = jnp.sqrt(
-            sum(
-                jnp.sum(jnp.square(g.astype(jnp.float32)))
-                for g in jax.tree.leaves(grads)
-            )
+        ok = jax.tree.reduce(
+            jnp.logical_and,
+            jax.tree.map(lambda g: jnp.isfinite(g).all(), grads),
+            jnp.bool_(True),
         )
-        ok = jnp.isfinite(gnorm)
 
         def pick(new, old):
             return jax.tree.map(
@@ -82,7 +89,7 @@ class TrainState(struct.PyTreeNode):
             params=pick(new_params, self.params),
             batch_stats=pick(batch_stats, self.batch_stats),
             opt_state=pick(new_opt, self.opt_state),
-        )
+        ), ok
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

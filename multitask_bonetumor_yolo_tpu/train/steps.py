@@ -54,13 +54,19 @@ def make_train_step(
         (total, (lo, new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        state, grad_ok = state.apply_gradients(
+            grads=grads, batch_stats=new_stats
+        )
         metrics = {
             "loss_total": total,
             **{f"loss_{k}": v for k, v in lo.components.items()},
             "num_pos": lo.num_pos,
             "avg_iou": lo.avg_iou,
             "grad_norm": optax_global_norm(grads),
+            # 1.0 when the optimizer step was SKIPPED on a non-finite
+            # gradient (state.py::apply_gradients) — surfaces silent-freeze
+            # regimes in metrics.jsonl (ADVICE r4)
+            "step_skipped": 1.0 - grad_ok.astype(jnp.float32),
         }
         # train-stage observability (reference log_cls_metrics /
         # log_seg_examples cadence, running_main_v3.py:430-444): tiny logits

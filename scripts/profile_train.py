@@ -195,7 +195,7 @@ def main():
             g = jax.tree.map(
                 lambda z: z + i.astype(z.dtype) * 1e-9, zgrads
             )
-            st = state.apply_gradients(grads=g, batch_stats=stats)
+            st, _ = state.apply_gradients(grads=g, batch_stats=stats)
             # depend on EVERY updated leaf (a single-leaf fetch lets XLA
             # dead-code-eliminate the rest of the update: measured 0.000 ms)
             return sum(

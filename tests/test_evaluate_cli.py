@@ -38,7 +38,9 @@ def trained_run(tmp_path_factory):
     )
     run_dir = tmp_path_factory.mktemp("run")
     cfg = ExperimentConfig(
-        model=ModelConfig(**TINY_MODEL, eval_bn="frozen"),
+        model=ModelConfig(**TINY_MODEL, eval_bn="frozen",
+                          fuse_towers=False, ln_zfree=False,
+                          block_bwd="ref"),
         data=DataConfig(root=str(root), img_size=IMG, max_boxes=8,
                         batch_size=1),
         loss=LossConfig(img_size=IMG, nc_det=2, assigner="tal"),
@@ -65,6 +67,52 @@ def test_trainer_writes_config_sidecar(trained_run):
     assert cfg["model"]["eval_bn"] == "frozen"
     assert cfg["loss"]["assigner"] == "tal"
     assert cfg["model"]["single_head"] is True
+
+
+def test_sidecar_roundtrips_perf_knobs(trained_run):
+    """The executed graph is fully determined by config.json (VERDICT r4
+    #6): the performance knobs (fuse_towers / ln_zfree / block_bwd) are
+    serialized, and reconstructing ModelConfig from the sidecar — exactly
+    what cli/evaluate.py does — reproduces the trained config."""
+    p = Path(trained_run.ckpt).parent / "config.json"
+    cfg = json.loads(p.read_text())
+    assert cfg["model"]["fuse_towers"] is False
+    assert cfg["model"]["ln_zfree"] is False
+    assert cfg["model"]["block_bwd"] == "ref"
+    assert cfg["data"]["upload_streams"] == DataConfig().upload_streams
+    rebuilt = ModelConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in cfg["model"].items()
+    })
+    expected = ModelConfig(**TINY_MODEL, eval_bn="frozen",
+                           fuse_towers=False, ln_zfree=False,
+                           block_bwd="ref")
+    assert rebuilt == expected
+
+
+def test_env_knob_overrides_warn():
+    """Env-var knobs are experiment-only overrides: they win but WARN, so a
+    run whose behaviour deviates from its sidecar is visible (utils/knobs)."""
+    import os
+    import warnings
+
+    from multitask_bonetumor_yolo_tpu.utils import knobs
+
+    os.environ["MTBY_TEST_KNOB"] = "0"
+    try:
+        knobs._warned.discard("MTBY_TEST_KNOB")
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert knobs.env_override("MTBY_TEST_KNOB", True) is False
+        assert any("overrides the typed config" in str(w.message) for w in rec)
+        # unset -> config value wins, no warning
+        del os.environ["MTBY_TEST_KNOB"]
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert knobs.env_override("MTBY_TEST_KNOB", True) is True
+        assert not rec
+    finally:
+        os.environ.pop("MTBY_TEST_KNOB", None)
 
 
 def test_flags_default_from_trained_config(trained_run):

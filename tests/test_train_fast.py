@@ -306,7 +306,8 @@ def test_apply_gradients_skips_nonfinite():
 
     bad = {"w": jnp.array([1.0, jnp.nan, 0.0, 0.0])}
     bad_stats = {"bn": {"mean": jnp.full((4,), jnp.nan)}}
-    s1 = state.apply_gradients(grads=bad, batch_stats=bad_stats)
+    s1, ok1 = state.apply_gradients(grads=bad, batch_stats=bad_stats)
+    assert not bool(ok1)  # the skip is SURFACED, not silent (ADVICE r4)
     assert int(s1.step) == 1  # scheduler still advances
     np.testing.assert_array_equal(np.asarray(s1.params["w"]), np.ones(4))
     assert np.isfinite(np.asarray(s1.batch_stats["bn"]["mean"])).all()
@@ -314,6 +315,15 @@ def test_apply_gradients_skips_nonfinite():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     good = {"w": jnp.full((4,), 0.5)}
-    s2 = s1.apply_gradients(grads=good, batch_stats=stats)
+    s2, ok2 = s1.apply_gradients(grads=good, batch_stats=stats)
+    assert bool(ok2)
     assert (np.asarray(s2.params["w"]) != 1.0).all()
     assert np.isfinite(np.asarray(s2.params["w"])).all()
+
+    # huge-but-finite gradients must NOT be skipped: the per-leaf isfinite
+    # probe is immune to the fp32 sum-of-squares overflow a global-norm
+    # probe suffers (clip_by_global_norm then salvages the step)
+    huge = {"w": jnp.full((4,), 3e38)}
+    s3, ok3 = s2.apply_gradients(grads=huge, batch_stats=stats)
+    assert bool(ok3)
+    assert np.isfinite(np.asarray(s3.params["w"])).all()
