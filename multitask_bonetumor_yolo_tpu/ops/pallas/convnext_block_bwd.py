@@ -536,7 +536,8 @@ def _kernel_v2(
         # per-row slices are [w, cpad] slivers whose sublane occupancy and
         # per-op overhead dominate; the 3-D form keeps one chunk-sized
         # accumulator live (rc*w*cpad fp32, ~1.2 MB at 20x20x768), far
-        # under the raised VMEM cap. Measured: see BASELINE.md round 4.
+        # under the raised VMEM cap. Measured: BASELINE.md round-5
+        # measurements, vec_dx evidence bullet.
         d_x = sum(
             dyp[6 - dy : 6 - dy + rc, dx_ : dx_ + w, :]
             * dw_ref[dy, 6 - dx_, :]
