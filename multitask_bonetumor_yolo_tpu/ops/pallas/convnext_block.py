@@ -54,6 +54,18 @@ def _nsplit_override() -> int:
     return env_override("CNB_NSPLIT", 0)
 
 
+def _interleave() -> bool:
+    """Emit group k's MLP right after group k+1's dwconv instead of
+    all-dw-then-all-mlp. Measured (scripts/bench_block.py, batch 16 @640,
+    round 5): NO gain — stage0 3.079 vs 3.059 ms, stage1 1.691 vs 1.656 —
+    Mosaic's list scheduler already reorders freely within the
+    straight-line region; textual emission order is not the overlap
+    limiter (the dwconv's VPU occupancy is). Experiment hook only."""
+    from ...utils.knobs import env_override
+
+    return env_override("CNB_INTERLEAVE", False)
+
+
 def _ln_mxu() -> bool:
     """LN-moment path: False = VPU cross-lane reductions (default), True =
     sums via ``y @ ones`` MXU matmuls. Measured (scripts/bench_block.py,
@@ -353,9 +365,19 @@ def _kernel(
             val, ((0, 0), (3, wpad - w - 3), (0, 0))
         )
 
-    zs = [dw_ln(k * gr) for k in range(nsplit)]
-    for k in range(nsplit):
-        mlp_out(*zs[k], k * gr)
+    if _interleave():
+        # explicit software-pipelined emission (A/B hook CNB_INTERLEAVE;
+        # measured NO gain — see _interleave)
+        prev = dw_ln(0)
+        for k in range(1, nsplit):
+            cur = dw_ln(k * gr)
+            mlp_out(*prev, (k - 1) * gr)
+            prev = cur
+        mlp_out(*prev, (nsplit - 1) * gr)
+    else:
+        zs = [dw_ln(k * gr) for k in range(nsplit)]
+        for k in range(nsplit):
+            mlp_out(*zs[k], k * gr)
 
 
 def _pick_row_chunk(h: int, w: int, c: int, dtype_bytes: int = 2) -> int:
